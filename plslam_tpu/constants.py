@@ -1,0 +1,97 @@
+"""Every hard-coded threshold of the reference, in one place.
+
+The reference (maxee1900/RGBD-PL-SLAM, an ORB-SLAM2 fork) scatters these
+constants through its source; each entry below names its reference site
+(SURVEY.md §6 "Config/flag system" row mandates this file). Values follow the
+canonical ORB-SLAM2 layout since the reference preserves it verbatim
+(SURVEY.md §0).
+
+Capacities (MAX_*) are ours: the TPU-native answer to the reference's
+unbounded heap-allocated map is fixed-capacity ring-buffered arrays with
+validity masks (SURVEY.md §6 "Long-context" row).
+"""
+
+# --- chi-square gates (src/Optimizer.cc ~250: PoseOptimization Huber deltas) ---
+CHI2_MONO = 5.991  # 2-dof 95%  (EdgeSE3ProjectXYZOnlyPose)
+CHI2_STEREO = 7.815  # 3-dof 95%  (EdgeStereoSE3ProjectXYZOnlyPose)
+CHI2_LINE = 5.991  # 2-dof line endpoint residual (EdgeLineProjectXYZOnlyPose)
+CHI2_SIM3 = 9.210  # OptimizeSim3 inlier gate (src/Optimizer.cc ~1100)
+
+# --- matcher thresholds (src/ORBmatcher.cc header consts) ---
+TH_LOW = 50  # Hamming accept for projection search
+TH_HIGH = 100  # Hamming accept for BoW / relocalization search
+HISTO_LENGTH = 30  # rotation-consistency histogram bins
+NN_RATIO_DEFAULT = 0.6  # best/second-best ratio (call-site dependent 0.6-0.9)
+
+# --- ORB extractor (Examples/RGB-D/TUM*.yaml + src/ORBextractor.cc) ---
+N_FEATURES = 1000
+SCALE_FACTOR = 1.2
+N_LEVELS = 8
+INI_TH_FAST = 20
+MIN_TH_FAST = 7
+FAST_CELL = 32  # reference uses 30x30 cells (ComputeKeyPointsOctTree ~750);
+# 32 chosen for TPU tile alignment — behaviorally equivalent spatial spread.
+PATCH_SIZE = 31  # IC-angle / BRIEF patch diameter (src/ORBextractor.cc)
+HALF_PATCH_SIZE = 15
+EDGE_THRESHOLD = 19  # border margin before FAST (src/ORBextractor.cc)
+
+# --- line extractor (LSD/LBD, src/LineExtractor.cc + OpenCV defaults) ---
+LBD_BANDS = 9  # BinaryDescriptor numOfBands
+LBD_BAND_WIDTH = 7  # BinaryDescriptor widthOfBand
+MIN_LINE_LENGTH_FRAC = 0.025  # min line length as fraction of image diagonal
+
+# --- covisibility graph (src/KeyFrame.cc §UpdateConnections ~330) ---
+COVIS_TH = 15  # min shared landmarks for a covisibility edge
+COVIS_ESSENTIAL_TH = 100  # strong edges kept in the essential graph
+
+# --- tracking policy (src/Tracking.cc) ---
+TH_DEPTH_DEFAULT = 40.0  # ThDepth: close/far split = ThDepth * baseline
+MIN_INLIERS_TRACK_LOCAL_MAP = 30  # TrackLocalMap accept (~900)
+MIN_INLIERS_AFTER_RELOC = 50
+MIN_MATCHES_MOTION_MODEL = 20  # TrackWithMotionModel (~700)
+MIN_MATCHES_REF_KF = 15  # TrackReferenceKeyFrame (~600)
+KF_TRACKED_CLOSE_MIN = 100  # NeedNewKeyFrame (~1000)
+KF_NONTRACKED_CLOSE_MIN = 70
+KF_REF_RATIO_RGBD = 0.75  # tracked / ref-KF-tracked ratio threshold
+KF_MAX_FRAMES = 30  # MaxFrames = fps: force KF after this many frames
+KF_MIN_FRAMES = 0
+NEW_KF_MAX_CLOSE_POINTS = 100  # CreateNewKeyFrame (~1100) depth-sorted cap
+
+# --- local mapping (src/LocalMapping.cc) ---
+CULL_FOUND_RATIO = 0.25  # MapPointCulling (~180)
+CULL_UNSEEN_KFS = 3
+KF_CULL_REDUNDANCY = 0.9  # KeyFrameCulling (~650): >=90% landmarks seen >=3x
+KF_CULL_MIN_OBS = 3
+TRIANG_COVIS_KFS = 10  # CreateNewMapPoints neighbor count (~250)
+
+# --- loop closing (src/LoopClosing.cc) ---
+LOOP_MIN_KFS_SINCE_LAST = 10  # DetectLoop (~80)
+LOOP_CONSISTENT_GROUPS = 3
+LOOP_BOW_MIN_MATCHES = 20  # ComputeSim3 (~200)
+LOOP_SIM3_MIN_INLIERS = 20
+LOOP_TOTAL_MIN_MATCHES = 40
+
+# --- optimizer iteration schedules (src/Optimizer.cc) ---
+POSE_OPT_ROUNDS = 4  # PoseOptimization: 4 rounds x 10 LM iters (~250)
+POSE_OPT_ITERS = 10
+LOCAL_BA_ITERS_1 = 5  # LocalBundleAdjustment: 5 then 10 (~450)
+LOCAL_BA_ITERS_2 = 10
+GLOBAL_BA_ITERS = 10  # RunGlobalBundleAdjustment (~600)
+ESSENTIAL_GRAPH_ITERS = 20  # OptimizeEssentialGraph (~900)
+SIM3_OPT_ITERS = 10  # OptimizeSim3 (~1100)
+
+# --- observation octave noise model (g2o edge info matrices) ---
+# invSigma2 = 1 / SCALE_FACTOR**(2*octave)
+
+# --- fixed capacities (ours; TPU-native bounded map, SURVEY.md §6) ---
+MAX_FEAT = 1024  # per-frame keypoint capacity (nFeatures=1000 padded)
+MAX_LINES = 128  # per-frame keyline capacity
+MAX_KF = 256  # keyframe capacity
+MAX_PTS = 32768  # map-point capacity
+MAX_MAPLINES = 4096  # map-line capacity
+LOCAL_KFS = 32  # local-BA window keyframe capacity
+LOCAL_FIXED_KFS = 32  # local-BA fixed boundary keyframe capacity
+
+# --- vocabulary (Thirdparty/DBoW2; Vocabulary/ORBvoc.txt: k=10, L=6) ---
+VOCAB_K = 10
+VOCAB_L = 4  # ours is trained small (no ORBvoc asset offline; SURVEY.md §10.6)
