@@ -1,0 +1,88 @@
+"""Steered BRIEF-256 descriptors.
+
+Replaces ORBextractor::computeOrbDescriptor (src/ORBextractor.cc ~100):
+256 intensity comparisons of pattern point-pairs, rotated by the keypoint's
+IC angle, sampled from the Gaussian-blurred pyramid level; bit b =
+I(p_a) < I(p_b), packed into 32 bytes.
+
+Pattern: the reference embeds OpenCV's learned `bit_pattern_31_` table. That
+table is a data asset we do not have offline (the mount is empty and copying
+is disallowed anyway), so we generate a fixed, seeded Gaussian pattern
+(sigma = patch/5, the original BRIEF paper's G-II distribution) once at import.
+Descriptors are internally consistent — extractor and matcher share the
+pattern — they are just not bit-compatible with OpenCV's (nothing requires
+that: the reference never exchanges descriptors with other systems).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu import constants as C
+
+N_BITS = 256
+_PATTERN_SEED = 0x5151
+_MAX_OFF = 13  # pattern offsets clipped to +-13 so rotated points stay
+# within radius ceil(13*sqrt(2)) = 19 = EDGE_THRESHOLD / patch radius.
+
+
+@functools.lru_cache(maxsize=1)
+def pattern():
+    """(a i8[256, 2], b i8[256, 2]) pattern point pairs, (x, y) order."""
+    rs = np.random.RandomState(_PATTERN_SEED)
+    sigma = C.PATCH_SIZE / 5.0
+    pts = rs.normal(0.0, sigma, size=(2, N_BITS, 2))
+    pts = np.clip(np.round(pts), -_MAX_OFF, _MAX_OFF).astype(np.int8)
+    return pts[0], pts[1]  # numpy: lru_cache must not hold tracers
+
+
+PATCH_R = 19  # gather radius: rotated pattern points stay inside
+PATCH_D = 2 * PATCH_R + 1
+
+
+@functools.lru_cache(maxsize=1)
+def _pow2():
+    return (1 << np.arange(8, dtype=np.uint32)).astype(np.uint32)
+
+
+def steered_brief(patches, angles):
+    """patches f32[K, 39, 39] (blurred level image, centered on keypoints),
+    angles f32[K] radians -> desc u8[K, 32].
+
+    The rotated sample positions are rounded to the nearest pixel, exactly
+    like the reference's cvRound on (x cos - y sin, x sin + y cos)."""
+    pa, pb = (jnp.asarray(x) for x in pattern())
+    ca, sa = jnp.cos(angles), jnp.sin(angles)  # [K]
+
+    def rotate(p):  # p i8[256, 2] (x, y) -> (rx, ry) i32[K, 256]
+        x = p[:, 0].astype(jnp.float32)[None, :]
+        y = p[:, 1].astype(jnp.float32)[None, :]
+        rx = jnp.round(x * ca[:, None] - y * sa[:, None]).astype(jnp.int32)
+        ry = jnp.round(x * sa[:, None] + y * ca[:, None]).astype(jnp.int32)
+        return rx, ry
+
+    K = patches.shape[0]
+    flat = patches.reshape(K, -1)
+
+    def sample(rx, ry):
+        idx = (ry + PATCH_R) * PATCH_D + (rx + PATCH_R)
+        return jnp.take_along_axis(flat, idx, axis=1)  # [K, 256]
+
+    ia = sample(*rotate(pa))
+    ib = sample(*rotate(pb))
+    bits = (ia < ib).astype(jnp.uint32).reshape(K, 32, 8)
+    return jnp.sum(bits * jnp.asarray(_pow2())[None, None, :], axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits_pm1(desc, dtype=jnp.bfloat16):
+    """u8[..., 32] -> +-1 floats [..., 256] for the MXU Hamming matmul:
+    dot(a, b) = 256 - 2 * hamming(a, b)."""
+    bits = jnp.bitwise_and(
+        desc[..., :, None].astype(jnp.uint8) >> np.arange(8, dtype=np.uint8),
+        jnp.uint8(1),
+    )
+    pm1 = bits.astype(dtype) * 2 - 1
+    return pm1.reshape(desc.shape[:-1] + (N_BITS,))

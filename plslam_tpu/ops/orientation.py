@@ -1,0 +1,36 @@
+"""IC (intensity-centroid) keypoint orientation.
+
+Replaces ORBextractor::IC_Angle (src/ORBextractor.cc ~70): moments m01, m10
+over the circular 31-diameter patch around each keypoint on the (unblurred)
+pyramid level; theta = atan2(m01, m10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu import constants as C
+
+
+@functools.lru_cache(maxsize=4)
+def _moment_masks(radius: int):
+    d = 2 * radius + 1
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    circ = (ys * ys + xs * xs) <= radius * radius
+    # numpy (not jnp): lru_cache must not capture tracers/arrays from a trace
+    return (xs * circ).astype(np.float32), (ys * circ).astype(np.float32)
+
+
+def ic_angle(patches, radius: int = C.HALF_PATCH_SIZE):
+    """patches f32[K, d, d] (d = 2*radius+1 or larger, centered) -> rad f32[K]."""
+    d = 2 * radius + 1
+    if patches.shape[-1] != d:
+        off = (patches.shape[-1] - d) // 2
+        patches = patches[:, off : off + d, off : off + d]
+    mx, my = (jnp.asarray(a) for a in _moment_masks(radius))
+    m10 = jnp.sum(patches * mx, axis=(-2, -1))
+    m01 = jnp.sum(patches * my, axis=(-2, -1))
+    return jnp.arctan2(m01, m10)

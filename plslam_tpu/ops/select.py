@@ -1,0 +1,44 @@
+"""Spatially-spread keypoint selection: grid-cell top-1 + global top-k.
+
+TPU-idiomatic replacement for ORBextractor::DistributeOctTree (~450 LoC
+quadtree, src/ORBextractor.cc): instead of recursively splitting nodes and
+keeping the max-response keypoint per leaf, we take the max-response corner
+in each fixed grid cell and then the top-k cells by response. Both policies
+pick "strongest corner per spatial bucket, capped at N" — statistically
+equivalent spread (SURVEY.md §10.3c documents this as a deliberate design
+deviation); the quadtree's data-dependent recursion is hostile to XLA.
+"""
+
+from __future__ import annotations
+
+import jax.lax
+import jax.numpy as jnp
+
+
+def select_topk_grid(score, k: int, cell: int = 16):
+    """score f32[H, W] -> (yx i32[k, 2], resp f32[k], valid bool[k]).
+
+    Top-1 per `cell`x`cell` grid cell, then top-k cells by response.
+    Invalid slots (fewer than k nonzero cells) have resp 0 and valid False.
+    """
+    H, W = score.shape
+    ch, cw = -(-H // cell), -(-W // cell)
+    pad_h, pad_w = ch * cell - H, cw * cell - W
+    sp = jnp.pad(score, ((0, pad_h), (0, pad_w)))
+    blocks = sp.reshape(ch, cell, cw, cell).transpose(0, 2, 1, 3).reshape(ch, cw, cell * cell)
+    cell_best = jnp.max(blocks, -1)  # [ch, cw]
+    cell_arg = jnp.argmax(blocks, -1)  # [ch, cw] index within cell
+    flat_best = cell_best.reshape(-1)
+    if flat_best.shape[0] < k:  # tiny top pyramid levels: fewer cells than k
+        flat_best = jnp.pad(flat_best, (0, k - flat_best.shape[0]))
+    resp, idx = jax.lax.top_k(flat_best, k)
+    idx = jnp.minimum(idx, ch * cw - 1)
+    cy, cx = idx // cw, idx % cw
+    within = jnp.take(cell_arg.reshape(-1), idx)
+    y = cy * cell + within // cell
+    x = cx * cell + within % cell
+    valid = resp > 0.0
+    yx = jnp.stack([y, x], -1).astype(jnp.int32)
+    # clamp padded-region picks (can only happen when invalid)
+    yx = jnp.minimum(yx, jnp.array([H - 1, W - 1], jnp.int32))
+    return yx, resp, valid
