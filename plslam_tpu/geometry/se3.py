@@ -32,13 +32,25 @@ def hat(phi):
     )
 
 
+_SMALL_THETA2 = 1e-3  # f32: below theta ~ 0.03, 1-cos / t-sin cancel catastrophically
+
+
 def _so3_coeffs(theta2):
-    """Taylor-safe (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3)."""
-    theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta + _EPS))
+    """Taylor-safe (A, B, C) = (sin t / t, (1-cos t)/t^2, (t - sin t)/t^3).
+
+    The series cutoff is theta^2 < 1e-3, NOT machine-eps-sized: in float32
+    the closed forms lose all precision well before that (1 - cos(1e-4) == 0
+    in f32), which silently corrupts V / V^-1 in exp/log."""
+    small = theta2 < _SMALL_THETA2
+    t2 = jnp.where(small, 1.0, theta2)  # keep sqrt/divisions well-conditioned
+    theta = jnp.sqrt(t2)
+    A = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0, (1.0 - jnp.cos(theta)) / t2)
+    C = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (theta - jnp.sin(theta)) / (t2 * theta),
+    )
     return A, B, C
 
 
@@ -87,9 +99,9 @@ def log(T):
     I = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
     # V^{-1} = I - K/2 + (1/theta^2)(1 - A/(2B)) K^2
     coef = jnp.where(
-        theta2 < 1e-8,
+        theta2 < _SMALL_THETA2,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - A / (2.0 * B + _EPS)) / (theta2 + _EPS),
+        (1.0 - A / (2.0 * B + _EPS)) / jnp.where(theta2 < _SMALL_THETA2, 1.0, theta2),
     )
     Vinv = I - 0.5 * K + coef[..., None, None] * mm(K, K)
     rho = mm(Vinv, t[..., None])[..., 0]

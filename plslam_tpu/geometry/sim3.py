@@ -71,37 +71,44 @@ def inverse(S):
 
 
 def _W_coeffs(theta2, sigma, s):
-    """Coefficients (C, A, B) of W = C I + A K + B K^2."""
-    theta = jnp.sqrt(theta2 + _EPS)
-    small_t = theta2 < 1e-8
-    small_s = jnp.abs(sigma) < 1e-5
+    """Coefficients (C, A, B) of W = C I + A K + B K^2.
+
+    f32-safe: series cutoffs are sized for float32 cancellation (theta below
+    ~0.03, |sigma| below 0.25 for the B_t0/A_t0 forms whose closed forms
+    cancel to O(sigma^3))."""
+    small_t = theta2 < 1e-3
+    small_s = jnp.abs(sigma) < 0.25
     sig = jnp.where(small_s, jnp.ones_like(sigma), sigma)
-    th = jnp.where(small_t, jnp.ones_like(theta), theta)
+    th = jnp.where(small_t, jnp.ones_like(jnp.asarray(theta2)), jnp.sqrt(jnp.where(small_t, 1.0, theta2)))
 
-    C = jnp.where(small_s, 1.0 + sigma / 2.0 + sigma * sigma / 6.0, (s - 1.0) / sig)
+    # C = (s - 1)/sigma = int_0^1 e^{sigma u} du
+    C = jnp.where(
+        small_s,
+        1.0 + sigma / 2.0 + sigma**2 / 6.0 + sigma**3 / 24.0,
+        (s - 1.0) / sig,
+    )
 
+    # General form (theta not small): smooth in sigma, including sigma = 0.
     a = s * jnp.sin(th)
     b = s * jnp.cos(th)
-    c2 = th * th + sig * sig
-    A_gen = (a * sig + (1.0 - b) * th) / (th * c2)
-    B_gen = (C - ((b - 1.0) * sig + a * th) / c2) / (th * th)
-    # sigma -> 0 (pure rotation): A = (1-cos)/t^2, B = (t-sin)/t^3
-    A_s0 = (1.0 - jnp.cos(th)) / (th * th)
-    B_s0 = (th - jnp.sin(th)) / (th * th * th)
-    # theta -> 0: A = int u e^{su} = (s(sig-1)+1)/sig^2,
-    #             B = (1/2) int u^2 e^{su} = (s(sig^2-2 sig+2)-2)/(2 sig^3)
-    A_t0 = (s * (sig - 1.0) + 1.0) / (sig * sig)
-    B_t0 = (s * (sig * sig - 2.0 * sig + 2.0) - 2.0) / (2.0 * sig * sig * sig)
-    # both -> 0: A = 1/2 + sig/3, B = 1/6 + sig/8
-    A_00 = 0.5 + sigma / 3.0
-    B_00 = 1.0 / 6.0 + sigma / 8.0
+    c2 = th * th + sigma * sigma
+    A_gen = (a * sigma + (1.0 - b) * th) / (th * c2)
+    B_gen = (C - ((b - 1.0) * sigma + a * th) / c2) / (th * th)
+    # theta -> 0: A = int u e^{su}, B = (1/2) int u^2 e^{su}; closed forms
+    # cancel at O(sigma^2)/O(sigma^3) so use series for small |sigma|
+    A_t0 = jnp.where(
+        small_s,
+        0.5 + sigma / 3.0 + sigma**2 / 8.0 + sigma**3 / 30.0,
+        (s * (sig - 1.0) + 1.0) / (sig * sig),
+    )
+    B_t0 = jnp.where(
+        small_s,
+        1.0 / 6.0 + sigma / 8.0 + sigma**2 / 20.0 + sigma**3 / 72.0,
+        (s * (sig * sig - 2.0 * sig + 2.0) - 2.0) / (2.0 * sig * sig * sig),
+    )
 
-    A = jnp.where(
-        small_t & small_s, A_00, jnp.where(small_t, A_t0, jnp.where(small_s, A_s0, A_gen))
-    )
-    B = jnp.where(
-        small_t & small_s, B_00, jnp.where(small_t, B_t0, jnp.where(small_s, B_s0, B_gen))
-    )
+    A = jnp.where(small_t, A_t0, A_gen)
+    B = jnp.where(small_t, B_t0, B_gen)
     return C, A, B
 
 

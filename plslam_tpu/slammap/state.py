@@ -1,0 +1,151 @@
+"""The map: a fixed-capacity struct-of-arrays pytree in HBM.
+
+TPU-native replacement for the reference's pointer-graph map (src/Map.cc,
+MapPoint.cc, MapLine.cc, KeyFrame.cc): no heap objects, no mutexes, no
+observation lists — every entity lives at a fixed index in a preallocated
+array with a validity mask, and "observations" are the per-keyframe
+landmark-index arrays kf_lm_idx / kf_ln_idx (the functional analogue of
+Frame::mvpMapPoints). Covisibility (KeyFrame::UpdateConnections ~330) is not
+stored: it is one MXU matmul over the observation incidence matrix, computed
+on demand (see covisibility()).
+
+Capacity limits double as the reference's implicit "unbounded growth handled
+by culling" policy (SURVEY.md §6 long-context row).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plslam_tpu import constants as C
+
+
+class MapState(NamedTuple):
+    # --- keyframes ---
+    kf_pose: jnp.ndarray  # f32[K, 4, 4] Tcw
+    kf_valid: jnp.ndarray  # bool[K]
+    kf_frame_id: jnp.ndarray  # i32[K]
+    kf_timestamp: jnp.ndarray  # f64[K]
+    # per-KF point features (BA edges + matching live here)
+    kf_uv: jnp.ndarray  # f32[K, F, 3] undistorted (u, v, u_r); u_r<0: mono
+    kf_octave: jnp.ndarray  # i32[K, F]
+    kf_angle: jnp.ndarray  # f32[K, F]
+    kf_desc: jnp.ndarray  # u8[K, F, 32]
+    kf_feat_valid: jnp.ndarray  # bool[K, F]
+    kf_lm_idx: jnp.ndarray  # i32[K, F] map-point id or -1
+    # per-KF line features
+    kf_ln_obs: jnp.ndarray  # f32[K, L, 3] observed 2D line (a, b, c) normalized
+    kf_ln_idx: jnp.ndarray  # i32[K, L] map-line id or -1
+    kf_ln_valid: jnp.ndarray  # bool[K, L]
+    # --- map points ---
+    pt_pos: jnp.ndarray  # f32[P, 3]
+    pt_desc: jnp.ndarray  # u8[P, 32] distinctive descriptor
+    pt_normal: jnp.ndarray  # f32[P, 3] mean viewing direction
+    pt_dist: jnp.ndarray  # f32[P, 2] (dmin, dmax) scale-invariance band
+    pt_valid: jnp.ndarray  # bool[P]
+    pt_ref_kf: jnp.ndarray  # i32[P]
+    pt_first_kf: jnp.ndarray  # i32[P]
+    pt_nobs: jnp.ndarray  # i32[P]
+    pt_visible: jnp.ndarray  # f32[P] IncreaseVisible counter
+    pt_found: jnp.ndarray  # f32[P] IncreaseFound counter
+    # --- map lines ---
+    ln_sw: jnp.ndarray  # f32[Q, 3] world start point
+    ln_ew: jnp.ndarray  # f32[Q, 3] world end point
+    ln_desc: jnp.ndarray  # u8[Q, 32] LBD descriptor
+    ln_valid: jnp.ndarray  # bool[Q]
+    ln_ref_kf: jnp.ndarray  # i32[Q]
+    ln_first_kf: jnp.ndarray  # i32[Q]
+    ln_nobs: jnp.ndarray  # i32[Q]
+    ln_visible: jnp.ndarray  # f32[Q]
+    ln_found: jnp.ndarray  # f32[Q]
+    # --- counters ---
+    n_kf: jnp.ndarray  # i32[] number of allocated KF slots (monotonic)
+    n_pt: jnp.ndarray  # i32[] next free map-point slot (monotonic)
+    n_ln: jnp.ndarray  # i32[] next free map-line slot (monotonic)
+
+
+def empty_map(
+    max_kf: int = C.MAX_KF,
+    max_feat: int = C.MAX_FEAT,
+    max_lines: int = C.MAX_LINES,
+    max_pts: int = C.MAX_PTS,
+    max_maplines: int = C.MAX_MAPLINES,
+) -> MapState:
+    K, F, L, P, Q = max_kf, max_feat, max_lines, max_pts, max_maplines
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.zeros(K, i32),
+        kf_timestamp=jnp.zeros(K, f32),
+        kf_uv=jnp.zeros((K, F, 3), f32),
+        kf_octave=jnp.zeros((K, F), i32),
+        kf_angle=jnp.zeros((K, F), f32),
+        kf_desc=jnp.zeros((K, F, 32), jnp.uint8),
+        kf_feat_valid=jnp.zeros((K, F), bool),
+        kf_lm_idx=jnp.full((K, F), -1, i32),
+        kf_ln_obs=jnp.zeros((K, L, 3), f32),
+        kf_ln_idx=jnp.full((K, L), -1, i32),
+        kf_ln_valid=jnp.zeros((K, L), bool),
+        pt_pos=jnp.zeros((P, 3), f32),
+        pt_desc=jnp.zeros((P, 32), jnp.uint8),
+        pt_normal=jnp.zeros((P, 3), f32),
+        pt_dist=jnp.zeros((P, 2), f32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_ref_kf=jnp.zeros(P, i32),
+        pt_first_kf=jnp.zeros(P, i32),
+        pt_nobs=jnp.zeros(P, i32),
+        pt_visible=jnp.ones(P, f32),
+        pt_found=jnp.ones(P, f32),
+        ln_sw=jnp.zeros((Q, 3), f32),
+        ln_ew=jnp.zeros((Q, 3), f32),
+        ln_desc=jnp.zeros((Q, 32), jnp.uint8),
+        ln_valid=jnp.zeros(Q, bool),
+        ln_ref_kf=jnp.zeros(Q, i32),
+        ln_first_kf=jnp.zeros(Q, i32),
+        ln_nobs=jnp.zeros(Q, i32),
+        ln_visible=jnp.ones(Q, f32),
+        ln_found=jnp.ones(Q, f32),
+        n_kf=jnp.zeros((), i32),
+        n_pt=jnp.zeros((), i32),
+        n_ln=jnp.zeros((), i32),
+    )
+
+
+def observation_matrix(m: MapState):
+    """bool[K, P] incidence: keyframe k observes map point p.
+
+    Built by scatter from kf_lm_idx; the covisibility graph, the
+    inverted-index queries, and local-BA edge enumeration all derive from
+    this one matrix."""
+    K, F = m.kf_lm_idx.shape
+    P = m.pt_valid.shape[0]
+    kf_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, F))
+    lm = m.kf_lm_idx
+    ok = (lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    lm_safe = jnp.where(ok, lm, 0)
+    obs = jnp.zeros((K, P), bool)
+    obs = obs.at[kf_ids.reshape(-1), lm_safe.reshape(-1)].max(ok.reshape(-1))
+    return obs
+
+
+def covisibility(m: MapState, obs=None):
+    """i32[K, K] shared-landmark counts (KeyFrame::UpdateConnections ~330),
+    zero diagonal. One bf16 matmul on the MXU."""
+    if obs is None:
+        obs = observation_matrix(m)
+    o = obs.astype(jnp.bfloat16)
+    w = jax.lax.dot_general(
+        o, o, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    return w * (1 - jnp.eye(w.shape[0], dtype=jnp.int32))
+
+
+def point_obs_count(m: MapState, obs=None):
+    """i32[P]: number of keyframes observing each point."""
+    if obs is None:
+        obs = observation_matrix(m)
+    return jnp.sum(obs, 0).astype(jnp.int32)
