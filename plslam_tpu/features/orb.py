@@ -100,12 +100,13 @@ class ORBExtractor:
                 img, self.ini_th, self.min_th, C.FAST_CELL, C.EDGE_THRESHOLD
             )
             yx, resp, valid = select.select_topk_grid(score, k, cell=16)
+            sub = select.subpixel_refine(score, yx)
             raw_patch = patches.gather_patches(img, yx, brief.PATCH_D)
             ang = orientation.ic_angle(raw_patch)
             blurred = pyramid.gaussian_blur(img)
             blur_patch = patches.gather_patches(blurred, yx, brief.PATCH_D)
             desc = brief.steered_brief(blur_patch, ang)
-            uv0 = yx[:, ::-1].astype(jnp.float32) * self.scales[l]
+            uv0 = (yx[:, ::-1].astype(jnp.float32) + sub[:, ::-1]) * self.scales[l]
             uv_all.append(uv0)
             resp_all.append(resp)
             ang_all.append(ang)

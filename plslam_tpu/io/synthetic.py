@@ -1,0 +1,146 @@
+"""Synthetic RGB-D sequence with exact ground truth.
+
+Offline stand-in for the TUM RGB-D benchmark (no network in this
+environment): a textured background plane plus floating foreground patches,
+rendered by ray-plane intersection; camera follows a smooth fr1_xyz-style
+trajectory (mostly translation + gentle rotation). The texture includes dark
+straight stripes so the LSD/LBD line pipeline has structure to find
+(ICL-NUIM-style low-texture mode sets `low_texture=True`).
+
+Used by tests, examples/rgbd_tum.py --synthetic, and bench.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from plslam_tpu.config import Settings
+
+
+def _texture(rng, size=2048, low_texture=False, n_lines=40):
+    try:
+        import cv2
+
+        tex = rng.uniform(0, 255, (size, size)).astype(np.float32)
+        tex = cv2.GaussianBlur(tex, (0, 0), 2.0 if not low_texture else 6.0)
+    except ImportError:  # pragma: no cover
+        tex = rng.uniform(0, 255, (size, size)).astype(np.float32)
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-9)
+    tex = (40 + tex * 170).astype(np.float32)
+    # straight dark/bright stripes -> line features
+    for _ in range(n_lines):
+        x0, y0 = rng.uniform(0, size, 2)
+        ang = rng.uniform(0, np.pi)
+        length = rng.uniform(0.2, 0.8) * size
+        x1, y1 = x0 + np.cos(ang) * length, y0 + np.sin(ang) * length
+        try:
+            import cv2
+
+            cv2.line(
+                tex,
+                (int(x0), int(y0)),
+                (int(x1), int(y1)),
+                float(rng.choice([20.0, 235.0])),
+                thickness=int(rng.integers(2, 5)),
+            )
+        except ImportError:  # pragma: no cover
+            pass
+    return tex
+
+
+class SyntheticSequence:
+    """Deterministic RGB-D sequence. frame(i) -> (gray f32[H,W] 0..255,
+    depth f32[H,W] meters, timestamp float). gt_pose_wc(i) -> Twc f64[4,4]."""
+
+    def __init__(
+        self,
+        n_frames: int = 100,
+        height: int = 480,
+        width: int = 640,
+        seed: int = 0,
+        low_texture: bool = False,
+        motion_scale: float = 1.0,
+        fps: float = 30.0,
+    ):
+        self.n_frames = n_frames
+        self.height, self.width = height, width
+        self.fps = fps
+        rng = np.random.default_rng(seed)
+        self.settings = Settings(
+            fx=520.0, fy=520.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
+            k1=0, k2=0, p1=0, p2=0, k3=0, width=width, height=height,
+            bf=40.0, depth_map_factor=1.0, fps=fps,
+        )
+        self.tex = _texture(rng, low_texture=low_texture)
+        self.tex_scale = 220.0  # pixels per world meter on the planes
+        self.z_bg = 3.4
+        # foreground square patches (world x, y, half-size, z)
+        self.patches = [
+            (rng.uniform(-1.4, 1.4), rng.uniform(-1.0, 1.0),
+             rng.uniform(0.2, 0.5), rng.uniform(1.5, 3.0))
+            for _ in range(14)
+        ]
+        self.motion_scale = motion_scale
+        K, _ = self.settings.intrinsics()
+        self.K = K
+        u, v = np.meshgrid(np.arange(width), np.arange(height))
+        self.ray = np.stack(
+            [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, np.float64)], -1
+        )  # camera-frame ray with z=1
+
+    def gt_pose_wc(self, i: int) -> np.ndarray:
+        """Twc (camera->world), float64."""
+        t = i / self.fps
+        s = self.motion_scale
+        tx = 0.25 * s * np.sin(0.9 * t)
+        ty = 0.18 * s * np.sin(0.7 * t + 0.5)
+        tz = 0.12 * s * np.sin(0.5 * t + 1.1)
+        yaw = 0.04 * s * np.sin(0.6 * t)
+        pitch = 0.03 * s * np.sin(0.45 * t + 0.7)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+        T = np.eye(4)
+        T[:3, :3] = Ry @ Rx
+        T[:3, 3] = [tx, ty, tz]
+        return T
+
+    def timestamp(self, i: int) -> float:
+        return i / self.fps
+
+    def frame(self, i: int):
+        Twc = self.gt_pose_wc(i)
+        R, c = Twc[:3, :3], Twc[:3, 3]
+        d_world = self.ray @ R.T  # [H, W, 3]
+        # background plane z = z_bg
+        t_bg = (self.z_bg - c[2]) / d_world[..., 2]
+        depth = t_bg.copy()
+        wx = c[0] + t_bg * d_world[..., 0]
+        wy = c[1] + t_bg * d_world[..., 1]
+        # foreground patches (nearer planes override)
+        for px, py, half, pz in self.patches:
+            t_p = (pz - c[2]) / d_world[..., 2]
+            x = c[0] + t_p * d_world[..., 0]
+            y = c[1] + t_p * d_world[..., 1]
+            hit = (np.abs(x - px) < half) & (np.abs(y - py) < half) & (t_p > 0.1) & (t_p < depth)
+            depth = np.where(hit, t_p, depth)
+            wx = np.where(hit, x, wx)
+            wy = np.where(hit, y, wy)
+        # sample texture bilinearly at world (x, y)
+        size = self.tex.shape[0]
+        fx_ = (wx * self.tex_scale) % (size - 1)
+        fy_ = (wy * self.tex_scale) % (size - 1)
+        x0 = fx_.astype(np.int64)
+        y0 = fy_.astype(np.int64)
+        ax, ay = (fx_ - x0).astype(np.float32), (fy_ - y0).astype(np.float32)
+        t00 = self.tex[y0, x0]
+        t01 = self.tex[y0, x0 + 1]
+        t10 = self.tex[y0 + 1, x0]
+        t11 = self.tex[y0 + 1, x0 + 1]
+        gray = (1 - ay) * ((1 - ax) * t00 + ax * t01) + ay * ((1 - ax) * t10 + ax * t11)
+        return gray.astype(np.float32), depth.astype(np.float32), self.timestamp(i)
+
+    def gt_trajectory(self):
+        """[(t, Twc)] for the evaluator."""
+        return [(self.timestamp(i), self.gt_pose_wc(i)) for i in range(self.n_frames)]

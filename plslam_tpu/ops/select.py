@@ -42,3 +42,26 @@ def select_topk_grid(score, k: int, cell: int = 16):
     # clamp padded-region picks (can only happen when invalid)
     yx = jnp.minimum(yx, jnp.array([H - 1, W - 1], jnp.int32))
     return yx, resp, valid
+
+
+def subpixel_refine(score, yx):
+    """Parabolic subpixel refinement on the response map: [k, 2] integer
+    (y, x) -> [k, 2] float offsets in [-0.5, 0.5] per axis.
+
+    The reference keeps integer keypoints (cv::FAST has no subpixel); we
+    refine because integer quantization noise is spatially correlated across
+    frames and, projected onto weak pose directions (narrow FOV + shallow
+    scene), it biases the per-frame pose optimum by ~0.5 cm — enough to
+    destabilize the constant-velocity motion model."""
+    H, W = score.shape
+    y = jnp.clip(yx[:, 0], 1, H - 2)
+    x = jnp.clip(yx[:, 1], 1, W - 2)
+
+    def axis_offset(sm, s0, sp):
+        denom = 2.0 * s0 - sm - sp
+        off = 0.5 * (sp - sm) / jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
+
+    oy = axis_offset(score[y - 1, x], score[y, x], score[y + 1, x])
+    ox = axis_offset(score[y, x - 1], score[y, x], score[y, x + 1])
+    return jnp.stack([oy, ox], -1)

@@ -28,7 +28,7 @@ class MapState(NamedTuple):
     kf_pose: jnp.ndarray  # f32[K, 4, 4] Tcw
     kf_valid: jnp.ndarray  # bool[K]
     kf_frame_id: jnp.ndarray  # i32[K]
-    kf_timestamp: jnp.ndarray  # f64[K]
+    # (keyframe timestamps are host-side metadata: f32 cannot hold TUM epochs)
     # per-KF point features (BA edges + matching live here)
     kf_uv: jnp.ndarray  # f32[K, F, 3] undistorted (u, v, u_r); u_r<0: mono
     kf_octave: jnp.ndarray  # i32[K, F]
@@ -80,7 +80,6 @@ def empty_map(
         kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         kf_valid=jnp.zeros(K, bool),
         kf_frame_id=jnp.zeros(K, i32),
-        kf_timestamp=jnp.zeros(K, f32),
         kf_uv=jnp.zeros((K, F, 3), f32),
         kf_octave=jnp.zeros((K, F), i32),
         kf_angle=jnp.zeros((K, F), f32),

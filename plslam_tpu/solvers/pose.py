@@ -201,10 +201,11 @@ def pose_optimization(
         def body(_, carry):
             Tcw, lam, nu, cost = carry
             H, b, _ = build_system(Tcw, active_pts, active_lines, robust)
-            Hd = H + lam * jnp.diag(jnp.diag(H))
-            delta = jnp.linalg.solve(
-                Hd + 1e-9 * jnp.eye(6, dtype=H.dtype), b
-            )
+            # g2o OptimizationAlgorithmLevenberg: ADDITIVE damping H + lam*I
+            # with lam0 = tau * max(diag H) (multiplicative diag scaling
+            # over-damps by ~maxdiag/mindiag and stalls convergence)
+            Hd = H + (lam + 1e-9) * jnp.eye(6, dtype=H.dtype)
+            delta = jnp.linalg.solve(Hd, b)
             T_new = se3.compose(se3.exp(delta), Tcw)
             new_cost = cost_only(T_new, active_pts, active_lines, robust)
             accept = (new_cost < cost) & jnp.all(jnp.isfinite(delta))

@@ -1,0 +1,161 @@
+"""System facade: the reference's public API, frame-in / trajectory-out.
+
+Mirrors include/System.h (SURVEY.md §8):
+    System(settings, sensor="rgbd")            <- System::System (vocab is
+        optional here: loop closing trains/loads its own compact vocab)
+    track_rgbd(rgb, depth, t) -> 4x4 Tcw | None   <- System::TrackRGBD (~230)
+    save_trajectory_tum(path)                     <- SaveTrajectoryTUM (~450)
+    save_keyframe_trajectory_tum(path)            <- SaveKeyFrameTrajectoryTUM
+    reset() / shutdown() / get_tracking_state()
+    activate_localization_mode() / deactivate_localization_mode()
+
+The reference spawns LocalMapping/LoopClosing threads in the ctor
+(src/System.cc ~95-110); here those stages are device programs the host
+invokes after keyframe insertion — same dataflow, no threads, deterministic.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from plslam_tpu import constants as C
+from plslam_tpu.config import Settings, load_settings
+from plslam_tpu.io import trajectory as traj_io
+
+TRACKING_STATES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST"}
+
+
+class System:
+    def __init__(
+        self,
+        settings: Settings | str | Path,
+        sensor: str = "rgbd",
+        use_local_mapping: bool = True,
+        use_loop_closing: bool | None = None,
+        max_kf: int = C.MAX_KF,
+        max_pts: int = C.MAX_PTS,
+    ):
+        if sensor.lower() != "rgbd":
+            raise ValueError("only the RGB-D pipeline is supported (like the reference fork)")
+        if not isinstance(settings, Settings):
+            settings = load_settings(settings)
+        self.settings = settings
+
+        import jax
+
+        from plslam_tpu.features.frame import FrameBuilder
+        from plslam_tpu.pipeline.tracking import Tracker
+
+        self._jax = jax
+        self.builder = FrameBuilder(settings)
+        self.tracker = Tracker(settings, max_kf=max_kf, max_pts=max_pts)
+        self.state = self.tracker.init_state()
+        self.use_local_mapping = use_local_mapping
+        self.use_loop_closing = (
+            settings.use_loop_closing if use_loop_closing is None else use_loop_closing
+        )
+        self._mapper = None
+        if use_local_mapping:
+            from plslam_tpu.pipeline.mapping import LocalMapper
+
+            self._mapper = LocalMapper(self.tracker)
+        self._loop = None
+        self.localization_only = False
+        # per-frame trajectory log (host side): SaveTrajectoryTUM replay data
+        self._timestamps: list[float] = []
+        self._kf_timestamps: dict[int, float] = {}
+        self._rel_poses: list[np.ndarray] = []
+        self._ref_ids: list[int] = []
+        self._tracked: list[bool] = []
+
+    # ------------------------------------------------------------------ track
+    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
+        """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
+        by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None."""
+        import jax.numpy as jnp
+
+        gray = rgb
+        if gray.ndim == 3:
+            w = (
+                np.array([0.299, 0.587, 0.114])
+                if self.settings.rgb
+                else np.array([0.114, 0.587, 0.299])
+            )
+            gray = (rgb.astype(np.float32) @ w).astype(np.float32)
+        frame = self.builder(jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32))
+        self.state, out = self.tracker.step(self.state, frame)
+        new_kf = bool(out.new_kf)
+        if new_kf:
+            self._kf_timestamps[int(out.kf_id)] = float(timestamp)
+        if new_kf and self._mapper is not None and not self.localization_only:
+            self.state = self.state._replace(
+                m=self._mapper.process(self.state.m, int(out.kf_id))
+            )
+        if self._loop is not None and new_kf and not self.localization_only:
+            self.state = self._loop.process(self.state, int(out.kf_id))
+
+        self._timestamps.append(float(timestamp))
+        self._rel_poses.append(np.asarray(out.rel_pose, np.float64))
+        self._ref_ids.append(int(out.ref_kf))
+        tracked = bool(out.tracked)
+        self._tracked.append(tracked)
+        return np.asarray(out.Tcw, np.float64) if tracked else None
+
+    # ------------------------------------------------------------------- mode
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def get_tracking_state(self) -> str:
+        return TRACKING_STATES[int(self.state.status)]
+
+    def map_changed(self) -> bool:
+        return bool(self.state.m.n_kf > 0)
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """World positions of landmarks tracked in the current frame."""
+        lm = np.asarray(self.state.last.lm_idx)
+        pos = np.asarray(self.state.m.pt_pos)
+        return pos[lm[lm >= 0]]
+
+    def reset(self):
+        self.state = self.tracker.init_state()
+        self._timestamps, self._rel_poses = [], []
+        self._ref_ids, self._tracked = [], []
+        self._kf_timestamps = {}
+
+    def shutdown(self):
+        if hasattr(self, "_jax"):
+            self._jax.block_until_ready(self.state)
+
+    # ------------------------------------------------------------------- save
+    def save_trajectory_tum(self, path: str | Path):
+        traj_io.save_trajectory_tum(
+            path,
+            self._timestamps,
+            self._rel_poses,
+            self._ref_ids,
+            np.asarray(self.state.m.kf_pose),
+            tracked_mask=self._tracked,
+        )
+
+    def save_keyframe_trajectory_tum(self, path: str | Path):
+        m = self.state.m
+        n = m.kf_pose.shape[0]
+        stamps = np.array([self._kf_timestamps.get(i, 0.0) for i in range(n)])
+        traj_io.save_keyframe_trajectory_tum(
+            path, stamps, np.asarray(m.kf_pose), np.asarray(m.kf_valid)
+        )
+
+    # ------------------------------------------------------------------ state
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.state.m.n_kf)
+
+    @property
+    def n_map_points(self) -> int:
+        return int(np.asarray(self.state.m.pt_valid).sum())

@@ -1,0 +1,124 @@
+"""End-to-end tracking on the synthetic sequence (SURVEY.md §5 integration
+tests; driver config 1 analogue: point-only tracking, no loop closure,
+CPU-runnable)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from plslam_tpu.eval import ate_rmse
+from plslam_tpu.io.synthetic import SyntheticSequence
+from plslam_tpu.system import System
+
+
+@pytest.fixture(scope="module")
+def small_seq():
+    return SyntheticSequence(n_frames=14, height=240, width=320, seed=3)
+
+
+@pytest.fixture(scope="module")
+def small_system_run(small_seq):
+    slam = System(small_seq.settings, max_pts=4096, max_kf=32)
+    poses = []
+    for i in range(small_seq.n_frames):
+        gray, depth, t = small_seq.frame(i)
+        Tcw = slam.track_rgbd(gray, depth, t)
+        poses.append(Tcw)
+    return slam, poses
+
+
+class TestE2ETracking:
+    def test_all_frames_tracked(self, small_system_run):
+        slam, poses = small_system_run
+        assert all(p is not None for p in poses)
+        assert slam.get_tracking_state() == "OK"
+        assert slam.n_keyframes >= 1
+        assert slam.n_map_points > 100
+
+    def test_ate_small(self, small_system_run, small_seq, tmp_path):
+        slam, _ = small_system_run
+        out = tmp_path / "traj.txt"
+        slam.save_trajectory_tum(out)
+        from plslam_tpu.io.trajectory import load_trajectory_tum
+
+        est = load_trajectory_tum(out)
+        rmse, n = ate_rmse(est, small_seq.gt_trajectory())
+        assert n == small_seq.n_frames
+        # no local BA yet in this slice; drift budget is loose (see
+        # pipeline/tracking.py docstring 'known-issue' note)
+        assert rmse < 0.02, f"ATE {rmse * 100:.2f} cm"
+
+    def test_trajectory_format(self, small_system_run, tmp_path):
+        slam, _ = small_system_run
+        out = tmp_path / "traj.txt"
+        slam.save_trajectory_tum(out)
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == small_system_run[0].state.frame_id
+        for ln in lines:
+            parts = ln.split()
+            assert len(parts) == 8  # t tx ty tz qx qy qz qw
+            q = np.array([float(x) for x in parts[4:]])
+            assert abs(np.linalg.norm(q) - 1.0) < 1e-4
+
+    def test_keyframe_trajectory(self, small_system_run, tmp_path):
+        slam, _ = small_system_run
+        out = tmp_path / "kf.txt"
+        slam.save_keyframe_trajectory_tum(out)
+        lines = out.read_text().strip().splitlines()
+        assert len(lines) == slam.n_keyframes
+
+
+class TestDeterminism:
+    def test_repeatable(self, small_seq):
+        """Unlike the C++ reference (thread timing + RANSAC seeds), this
+        pipeline is run-to-run deterministic."""
+        def run():
+            slam = System(small_seq.settings, max_pts=4096, max_kf=32)
+            out = []
+            for i in range(8):
+                gray, depth, t = small_seq.frame(i)
+                out.append(slam.track_rgbd(gray, depth, t))
+            return np.stack(out)
+
+        a, b = run(), run()
+        np.testing.assert_array_equal(a, b)
+
+
+class TestDegenerate:
+    def test_no_depth_no_init(self, small_seq):
+        slam = System(small_seq.settings, max_pts=4096, max_kf=32)
+        gray, depth, t = small_seq.frame(0)
+        out = slam.track_rgbd(gray, np.zeros_like(depth), t)
+        assert out is None
+        assert slam.get_tracking_state() == "NOT_INITIALIZED"
+        # next frame with depth initializes fine
+        out = slam.track_rgbd(gray, depth, t + 0.03)
+        assert out is not None
+
+    def test_black_frames_lose_tracking_without_nan(self, small_seq):
+        slam = System(small_seq.settings, max_pts=4096, max_kf=32)
+        for i in range(3):
+            gray, depth, t = small_seq.frame(i)
+            slam.track_rgbd(gray, depth, t)
+        out = slam.track_rgbd(np.zeros_like(gray), depth, t + 0.03)
+        assert out is None
+        assert slam.get_tracking_state() == "LOST"
+        assert np.isfinite(np.asarray(slam.state.m.pt_pos)).all()
+
+
+class TestEvaluator:
+    def test_ate_zero_on_identical(self, small_seq):
+        gt = small_seq.gt_trajectory()
+        rmse, n = ate_rmse(gt, gt)
+        assert rmse < 1e-9 and n == len(gt)
+
+    def test_ate_invariant_to_rigid_offset(self, small_seq):
+        gt = small_seq.gt_trajectory()
+        R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        off = np.eye(4)
+        off[:3, :3] = R
+        off[:3, 3] = [5, -2, 1]
+        moved = [(t, off @ T) for t, T in gt]
+        rmse, _ = ate_rmse(moved, gt)
+        assert rmse < 1e-6
