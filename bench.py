@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark: frames/sec/chip at 640x480 RGB-D tracking (BASELINE.json metric).
+
+Runs the FULL per-frame pipeline (pyramid -> ORB -> matching -> double pose
+LM -> masked keyframe/map insertion) as one jitted lax.scan over a synthetic
+640x480 sequence resident in HBM, on the real TPU chip. Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
+vs_baseline: the C++ reference tracks at ~25-40 fps on a desktop CPU
+(BASELINE.md: ORB-SLAM2 paper runtime table, RGB-D ~30 fps median); the
+north-star target is >=10x (>=300 fps effective).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_FRAMES = 48
+WARMUP_FRAMES = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from plslam_tpu.features.frame import FrameBuilder
+    from plslam_tpu.io.synthetic import SyntheticSequence
+    from plslam_tpu.pipeline.tracking import Tracker
+
+    log(f"devices: {jax.devices()}")
+    seq = SyntheticSequence(n_frames=N_FRAMES, height=480, width=640, seed=0)
+    builder = FrameBuilder(seq.settings)
+    tracker = Tracker(seq.settings)
+
+    log("rendering frames (host)...")
+    grays, depths = [], []
+    for i in range(N_FRAMES):
+        g, d, _ = seq.frame(i)
+        grays.append(g)
+        depths.append(d)
+    grays = jnp.asarray(np.stack(grays))
+    depths = jnp.asarray(np.stack(depths))
+
+    def scan_step(state, xs):
+        gray, depth = xs
+        frame = builder._build(gray, depth)
+        state, out = tracker._step(state, frame)
+        return state, (out.tracked, out.n_inliers)
+
+    @jax.jit
+    def run(state, grays, depths):
+        return jax.lax.scan(scan_step, state, (grays, depths))
+
+    log("compiling + warmup...")
+    t0 = time.perf_counter()
+    state0 = tracker.init_state()
+    final, (tracked, inl) = run(state0, grays[:WARMUP_FRAMES], depths[:WARMUP_FRAMES])
+    jax.block_until_ready(final)
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    final, (tracked, inl) = run(tracker.init_state(), grays, depths)
+    jax.block_until_ready(final)
+    dt = time.perf_counter() - t0
+    fps = N_FRAMES / dt
+    n_tracked = int(np.asarray(tracked).sum())
+    log(
+        f"{N_FRAMES} frames in {dt:.3f}s -> {fps:.1f} fps | tracked {n_tracked}/{N_FRAMES} "
+        f"| mean inliers {float(np.asarray(inl)[np.asarray(tracked)].mean() if n_tracked else 0):.0f}"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec/chip at 640x480 TUM RGB-D (full tracking step, synthetic)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

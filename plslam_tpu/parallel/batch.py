@@ -1,0 +1,81 @@
+"""Multi-sequence batching + device-mesh sharding.
+
+Driver config 5 ("4 TUM sequences streamed concurrently per chip") and the
+multi-chip story (SURVEY.md §3.3): the reference has no distribution at all
+(single process, pthreads over shared memory); the TPU-native scale-out axes
+are
+
+  * `seq`  — data parallelism over independent sequences: every per-sequence
+    array (TrackState pytree) gains a leading B axis, the tracking step is
+    vmapped, and the B axis is sharded over the mesh's `seq` axis.
+  * `lm`   — model parallelism over the landmark axis: the map's pt_* arrays
+    (and the big [kp x landmark] Hamming/matching matmuls) shard over `lm`;
+    XLA inserts the psum/all-gather collectives.
+
+Tracking state stays resident in HBM across steps; the host only feeds
+frames.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from plslam_tpu.pipeline.tracking import Tracker
+
+
+def make_mesh(n_devices: int | None = None, seq: int | None = None):
+    """Build a (seq, lm) mesh over the available devices."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    if seq is None:
+        seq = n if n <= 2 else max(2, n // 2)
+    lm = n // seq
+    return Mesh(np.asarray(devs).reshape(seq, lm), ("seq", "lm"))
+
+
+class BatchedTracker:
+    """vmapped Tracker over a leading sequence axis, sharded over a mesh."""
+
+    def __init__(self, tracker: Tracker, batch: int, mesh: Mesh | None = None):
+        self.tracker = tracker
+        self.batch = batch
+        self.mesh = mesh
+
+    def init_state(self):
+        state = jax.vmap(lambda _: self.tracker.init_state())(jnp.arange(self.batch))
+        if self.mesh is not None:
+            state = jax.device_put(state, self._state_sharding(state))
+        return state
+
+    def _spec_for(self, path: str, arr):
+        """Leading axis = seq (batch). Map landmark arrays also shard their
+        landmark axis over `lm`; everything else replicates over `lm`."""
+        if path.startswith("m.pt_") and arr.ndim >= 2:
+            return P("seq", "lm")
+        return P("seq")
+
+    def _state_sharding(self, state):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+        specs = []
+        for path, leaf in flat:
+            name = jax.tree_util.keystr(path)
+            spec = P("seq", "lm") if (".pt_" in name and leaf.ndim >= 2) else P("seq")
+            specs.append(NamedSharding(self.mesh, spec))
+        return jax.tree_util.tree_unflatten(treedef, specs)
+
+    @functools.cached_property
+    def step(self):
+        vstep = jax.vmap(self.tracker._step)
+        if self.mesh is None:
+            return jax.jit(vstep)
+
+        @jax.jit
+        def sharded_step(state, frames):
+            return vstep(state, frames)
+
+        return sharded_step

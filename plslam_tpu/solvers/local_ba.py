@@ -1,0 +1,301 @@
+"""Local bundle adjustment: batched Schur-complement Levenberg-Marquardt.
+
+Replaces Optimizer::LocalBundleAdjustment (src/Optimizer.cc ~450, g2o
+BlockSolver_6_3 + LinearSolverEigen + OptimizationAlgorithmLevenberg):
+
+  * Window: the new keyframe + its covisible keyframes (vertices);
+    keyframes that see local landmarks but are not covisible enter as FIXED
+    vertices; keyframe 0 is always fixed (gauge).
+  * Landmarks: every map point observed by a window keyframe.
+  * Edges: all observations of local landmarks by window+fixed keyframes —
+    enumerated directly from the per-KF landmark-index arrays (kf_lm_idx),
+    no edge lists.
+  * Solve: explicit Schur complement. H_pp is block-diagonal (batched 3x3
+    inverses on the VPU), the reduced camera system S is a dense
+    (6W x 6W) matrix solved with Cholesky-sized dense algebra on the MXU
+    (W <= 16 -> 96x96). LM damping is additive (g2o semantics), with
+    accept/reject and the reference's 5 + 10 iteration schedule and a chi2
+    outlier pass in between (outlier observations are erased from the map,
+    like the reference does under the map mutex).
+
+Everything is fixed-capacity: W window cams, X fixed cams, Pl local points —
+masks everywhere, one XLA program, no host round trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from plslam_tpu import constants as C
+from plslam_tpu.geometry import se3
+from plslam_tpu.slammap.state import MapState, observation_matrix
+from plslam_tpu.utils.precision import mm
+
+_TAU = 1e-5
+
+
+class LocalBA:
+    def __init__(
+        self,
+        tracker,
+        window: int = 16,
+        fixed: int = 16,
+        local_pts: int = 4096,
+        iters1: int = C.LOCAL_BA_ITERS_1,
+        iters2: int = C.LOCAL_BA_ITERS_2,
+    ):
+        self.tracker = tracker
+        self.W = window
+        self.X = fixed
+        self.Pl = min(local_pts, tracker.max_pts)
+        self.iters1, self.iters2 = iters1, iters2
+
+    @functools.cached_property
+    def run(self):
+        return jax.jit(self._run)
+
+    # ------------------------------------------------------------------ build
+    def _select(self, m: MapState, k):
+        """Pick window/fixed keyframes + local landmark slots."""
+        tr = self.tracker
+        obs = observation_matrix(m)  # [K, P] bool
+        obs_f = obs.astype(jnp.bfloat16)
+        covis_k = jax.lax.dot_general(
+            obs_f, obs_f[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [K] shared-landmark counts with KF k
+        covis_k = covis_k.at[k].set(0)
+        covis_ok = m.kf_valid & (covis_k >= C.COVIS_TH)
+        score = jnp.where(covis_ok, covis_k, -1)
+        _, top = jax.lax.top_k(score, self.W - 1)
+        win_valid = jnp.take(score, top) > 0
+        win_ids = jnp.concatenate([jnp.array([k]), jnp.where(win_valid, top, 0)])
+        win_mask = jnp.concatenate([jnp.array([True]), win_valid])
+
+        in_window = jnp.zeros(tr.max_kf, bool).at[jnp.where(win_mask, win_ids, tr.max_kf)].set(
+            True, mode="drop"
+        )
+
+        # local landmarks: observed by any window KF
+        w_obs = obs & in_window[:, None]  # [K, P]
+        lm_local = jnp.any(w_obs, axis=0) & m.pt_valid  # [P]
+        _, local_ids = jax.lax.top_k(lm_local.astype(jnp.int32), self.Pl)
+        local_valid = jnp.take(lm_local, local_ids)
+        lm_slot = jnp.full(tr.max_pts, -1, jnp.int32).at[
+            jnp.where(local_valid, local_ids, tr.max_pts)
+        ].set(jnp.arange(self.Pl, dtype=jnp.int32), mode="drop")
+
+        # fixed KFs: see local landmarks, not in window
+        sees_local = jnp.sum(
+            (obs & lm_local[None, :]).astype(jnp.int32), axis=1
+        )
+        fixed_ok = m.kf_valid & ~in_window & (sees_local > 0)
+        fscore = jnp.where(fixed_ok, sees_local, -1)
+        _, ftop = jax.lax.top_k(fscore, self.X)
+        fix_valid = jnp.take(fscore, ftop) > 0
+        fix_ids = jnp.where(fix_valid, ftop, 0)
+
+        return win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid, lm_slot
+
+    # ------------------------------------------------------------------- core
+    def _edge_terms(self, poses, pos_local, uv, oct_, lm_slot_row, feat_ok, is_stereo, robust):
+        """Residuals/Jacobians for all [R, F] edges.
+
+        poses f32[R,4,4]; pos_local f32[Pl,3]; uv f32[R,F,3]; lm_slot_row
+        i32[R,F] (slot into pos_local or -1). Returns r, Jc, Jp, w, chi2, ok."""
+        tr = self.tracker
+        K, bf = tr.K, tr.bf
+        fx, fy = K[0, 0], K[1, 1]
+        slot = jnp.clip(lm_slot_row, 0)
+        X = pos_local[slot]  # [R, F, 3]
+        P = (
+            jnp.einsum("rij,rfj->rfi", poses[:, :3, :3], X)
+            + poses[:, None, :3, 3]
+        )
+        Z = P[..., 2]
+        ok = feat_ok & (lm_slot_row >= 0) & (Z > 1e-3)
+        iz = 1.0 / jnp.where(Z > 1e-3, Z, 1.0)
+        iz2 = iz * iz
+        u = fx * P[..., 0] * iz + K[0, 2]
+        v = fy * P[..., 1] * iz + K[1, 2]
+        ur = u - bf * iz
+        pred = jnp.stack([u, v, ur], -1)
+        r = uv - pred
+        r = r.at[..., 2].set(jnp.where(is_stereo, r[..., 2], 0.0))
+
+        zero = jnp.zeros_like(Z)
+        du = jnp.stack([fx * iz, zero, -fx * P[..., 0] * iz2], -1)
+        dv = jnp.stack([zero, fy * iz, -fy * P[..., 1] * iz2], -1)
+        dur = du + jnp.stack([zero, zero, bf * iz2], -1)
+        dpred = jnp.stack([du, dv, dur], -2)  # [R, F, 3, 3]
+        dP_dxi = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3)),
+                -se3.hat(P),
+            ],
+            -1,
+        )  # [R, F, 3, 6]
+        Jc = -mm(dpred, dP_dxi)
+        R_blk = poses[:, None, :3, :3]  # dP/dX = R
+        Jp = -mm(dpred, jnp.broadcast_to(R_blk, dpred.shape[:-2] + (3, 3)))
+        # mono rows: zero third component
+        Jc = Jc.at[..., 2, :].set(jnp.where(is_stereo[..., None], Jc[..., 2, :], 0.0))
+        Jp = Jp.at[..., 2, :].set(jnp.where(is_stereo[..., None], Jp[..., 2, :], 0.0))
+
+        inv_s2 = jnp.asarray(tr.inv_sigma2)[jnp.clip(oct_, 0, tr.n_levels - 1)]
+        chi2 = jnp.sum(r * r, -1) * inv_s2
+        delta2 = jnp.where(is_stereo, C.CHI2_STEREO, C.CHI2_MONO)
+        hub = jnp.where(
+            chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.clip(chi2, 1e-12))
+        )
+        hub = jnp.where(robust, hub, 1.0)
+        w = jnp.where(ok, hub * inv_s2, 0.0)
+        rho = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.clip(chi2, 0)) - delta2
+        )
+        rho = jnp.where(robust, rho, chi2)
+        cost = jnp.sum(jnp.where(ok, rho, 0.0)) + 1e7 * jnp.sum(
+            feat_ok & (lm_slot_row >= 0) & ~(Z > 1e-3)
+        )
+        return r, Jc, Jp, w, chi2, ok, cost
+
+    def _run(self, m: MapState, k):
+        tr = self.tracker
+        (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid, lm_slot) = self._select(m, k)
+        W, X, Pl = self.W, self.X, self.Pl
+
+        rows_ids = jnp.concatenate([win_ids, fix_ids])  # [W+X]
+        rows_mask = jnp.concatenate([win_mask, fix_valid])
+        # gauge: KF 0 never moves
+        movable = win_mask & (win_ids != 0)
+
+        uv = m.kf_uv[rows_ids]  # [R, F, 3]
+        oct_ = m.kf_octave[rows_ids]
+        lm_idx_rows = m.kf_lm_idx[rows_ids]
+        feat_ok = (
+            m.kf_feat_valid[rows_ids]
+            & rows_mask[:, None]
+            & (lm_idx_rows >= 0)
+        )
+        lm_slot_row = jnp.where(feat_ok, lm_slot[jnp.clip(lm_idx_rows, 0)], -1)
+        is_stereo = uv[..., 2] >= 0
+
+        poses0 = m.kf_pose[rows_ids]
+        pos0 = m.pt_pos[local_ids]  # [Pl, 3]
+
+        row_w = jnp.arange(W + X) < W  # window rows get pose deltas
+
+        def build(poses, pos_local, edge_active, robust):
+            r, Jc, Jp, w, chi2, ok, cost = self._edge_terms(
+                poses, pos_local, uv, oct_, lm_slot_row, feat_ok & edge_active, is_stereo, robust
+            )
+            w = jnp.where(edge_active, w, 0.0)
+            # zero camera Jacobian for fixed rows and immovable window KFs
+            mov = jnp.concatenate([movable, jnp.zeros(X, bool)])
+            Jc = jnp.where(mov[:, None, None, None], Jc, 0.0)
+
+            Hcc = jnp.einsum("rfai,rf,rfaj->rij", Jc[:W], w[:W], Jc[:W])  # [W,6,6]
+            bc = -jnp.einsum("rfai,rf,rfa->ri", Jc[:W], w[:W], r[:W])  # [W,6]
+            slot = jnp.clip(lm_slot_row, 0)
+            drop = jnp.where(lm_slot_row >= 0, slot, Pl)
+            Hpp = jnp.zeros((Pl + 1, 3, 3)).at[drop.reshape(-1)].add(
+                jnp.einsum("eai,e,eaj->eij", Jp.reshape(-1, 3, 3), w.reshape(-1), Jp.reshape(-1, 3, 3))
+            )[:Pl]
+            bp = jnp.zeros((Pl + 1, 3)).at[drop.reshape(-1)].add(
+                -jnp.einsum("eai,e,ea->ei", Jp.reshape(-1, 3, 3), w.reshape(-1), r.reshape(-1, 3))
+            )[:Pl]
+            # Hcp: [W, Pl, 6, 3] scattered over landmark slots per window row
+            hcp_e = jnp.einsum("rfai,rf,rfaj->rfij", Jc[:W], w[:W], Jp[:W])  # [W,F,6,3]
+            Hcp = jnp.zeros((W, Pl + 1, 6, 3)).at[
+                jnp.arange(W)[:, None], drop[:W]
+            ].add(hcp_e)[:, :Pl]
+            return Hcc, bc, Hpp, bp, Hcp, cost, chi2, ok
+
+        def cost_only(poses, pos_local, edge_active, robust):
+            *_, cost, _, _ = build(poses, pos_local, edge_active, robust)
+            return cost
+
+        def solve(Hcc, bc, Hpp, bp, Hcp, lam):
+            I3 = jnp.eye(3)
+            I6 = jnp.eye(6)
+            Hpp_d = Hpp + lam * I3[None]
+            # guard empty landmark blocks
+            det_ok = jnp.linalg.det(Hpp_d) > 1e-12
+            Hpp_inv = jnp.linalg.inv(
+                jnp.where(det_ok[:, None, None], Hpp_d, I3[None])
+            )
+            Hpp_inv = jnp.where(det_ok[:, None, None], Hpp_inv, 0.0)
+            A = jnp.einsum("wpij,pjk->wpik", Hcp, Hpp_inv)  # [W,Pl,6,3]
+            S_blocks = -jnp.einsum("wpik,vpjk->wivj", A, Hcp)  # [W,6,W,6]
+            S = S_blocks.reshape(W * 6, W * 6)
+            # add block-diagonal Hcc + damping
+            idx = jnp.arange(W * 6).reshape(W, 6)
+            S = S.at[idx[:, :, None], idx[:, None, :]].add(Hcc + lam * I6[None])
+            rhs = (bc - jnp.einsum("wpik,pk->wi", A, bp)).reshape(-1)
+            dc = jnp.linalg.solve(S + 1e-8 * jnp.eye(W * 6), rhs).reshape(W, 6)
+            # back-substitute landmarks: dp = Hpp^-1 (bp - Hcp^T dc)
+            dp = jnp.einsum(
+                "pij,pj->pi", Hpp_inv, bp - jnp.einsum("wpij,wi->pj", Hcp, dc)
+            )
+            return dc, dp
+
+        def lm_phase(poses, pos_local, edge_active, robust, iters):
+            Hcc, bc, Hpp, bp, Hcp, cost0, _, _ = build(poses, pos_local, edge_active, robust)
+            maxdiag = jnp.maximum(
+                jnp.max(jnp.abs(jnp.einsum("wii->wi", Hcc))),
+                jnp.max(jnp.abs(jnp.einsum("pii->pi", Hpp))),
+            )
+            lam0 = _TAU * maxdiag
+
+            def body(_, carry):
+                poses, pos_local, lam, nu, cost = carry
+                Hcc, bc, Hpp, bp, Hcp, _, _, _ = build(poses, pos_local, edge_active, robust)
+                dc, dp = solve(Hcc, bc, Hpp, bp, Hcp, lam)
+                d_full = jnp.where(movable[:, None], dc, 0.0)
+                poses_new_w = se3.compose(se3.exp(d_full), poses[:W])
+                poses_new = jnp.concatenate([poses_new_w, poses[W:]], 0)
+                pos_new = pos_local + jnp.where(local_valid[:, None], dp, 0.0)
+                new_cost = cost_only(poses_new, pos_new, edge_active, robust)
+                finite = jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+                accept = (new_cost < cost) & finite
+                poses = jnp.where(accept, poses_new, poses)
+                pos_local = jnp.where(accept, pos_new, pos_local)
+                cost = jnp.where(accept, new_cost, cost)
+                lam = jnp.where(accept, lam / 3.0, lam * nu)
+                nu = jnp.where(accept, 2.0, nu * 2.0)
+                return poses, pos_local, lam, nu, cost
+
+            poses, pos_local, _, _, _ = jax.lax.fori_loop(
+                0, iters, body, (poses, pos_local, lam0, jnp.float32(2.0), cost0)
+            )
+            return poses, pos_local
+
+        edge_active = jnp.ones_like(feat_ok)
+        poses, pos = lm_phase(poses0, pos0, edge_active, jnp.bool_(True), self.iters1)
+        # outlier pass (chi2 gate), then second phase without robust kernel
+        _, _, _, _, _, _, chi2, ok = build(poses, pos, edge_active, jnp.bool_(True))
+        delta2 = jnp.where(is_stereo, C.CHI2_STEREO, C.CHI2_MONO)
+        edge_active = ok & (chi2 <= delta2)
+        poses, pos = lm_phase(poses, pos, edge_active, jnp.bool_(False), self.iters2)
+
+        # final outliers -> erase observations from the map (kf_lm_idx = -1)
+        _, _, _, _, _, _, chi2, ok = build(poses, pos, edge_active, jnp.bool_(False))
+        bad_edge = feat_ok & ((chi2 > delta2) | ~ok)
+
+        # ---- write back ----
+        new_kf_pose = m.kf_pose.at[jnp.where(win_mask, win_ids, tr.max_kf)].set(
+            poses[:W], mode="drop"
+        )
+        new_pt_pos = m.pt_pos.at[jnp.where(local_valid, local_ids, tr.max_pts)].set(
+            pos, mode="drop"
+        )
+        # erase outlier observations row by row
+        row_sel = jnp.where(rows_mask, rows_ids, tr.max_kf)
+        cur = m.kf_lm_idx[rows_ids]
+        new_rows = jnp.where(bad_edge, -1, cur)
+        new_kf_lm = m.kf_lm_idx.at[row_sel].set(new_rows, mode="drop")
+        return m._replace(kf_pose=new_kf_pose, pt_pos=new_pt_pos, kf_lm_idx=new_kf_lm)

@@ -14,7 +14,7 @@ from plslam_tpu.system import System
 
 @pytest.fixture(scope="module")
 def small_seq():
-    return SyntheticSequence(n_frames=14, height=240, width=320, seed=3)
+    return SyntheticSequence(n_frames=20, height=240, width=320, seed=3)
 
 
 @pytest.fixture(scope="module")
@@ -45,9 +45,7 @@ class TestE2ETracking:
         est = load_trajectory_tum(out)
         rmse, n = ate_rmse(est, small_seq.gt_trajectory())
         assert n == small_seq.n_frames
-        # no local BA yet in this slice; drift budget is loose (see
-        # pipeline/tracking.py docstring 'known-issue' note)
-        assert rmse < 0.02, f"ATE {rmse * 100:.2f} cm"
+        assert rmse < 0.01, f"ATE {rmse * 100:.2f} cm"
 
     def test_trajectory_format(self, small_system_run, tmp_path):
         slam, _ = small_system_run
