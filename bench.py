@@ -48,29 +48,39 @@ def main():
     grays = jnp.asarray(np.stack(grays))
     depths = jnp.asarray(np.stack(depths))
 
-    def scan_step(state, xs):
-        gray, depth = xs
-        frame = builder._build(gray, depth)
+    # Per-frame async dispatch (the production System loop): frame build and
+    # tracking step are queued back to back; the host never syncs mid-run.
+    # (A whole-sequence lax.scan was measured 2-3x slower per frame: the
+    # 100+MB map-state carry defeats buffer aliasing.)
+    zl = builder.empty_lines()
+
+    @jax.jit
+    def one(state, gray, depth):
+        frame = builder._build(gray, depth, *zl)
         state, out = tracker._step(state, frame)
         return state, (out.tracked, out.n_inliers)
 
-    @jax.jit
     def run(state, grays, depths):
-        return jax.lax.scan(scan_step, state, (grays, depths))
+        outs = []
+        for i in range(grays.shape[0]):
+            state, o = one(state, grays[i], depths[i])
+            outs.append(o)
+        return state, outs
 
     log("compiling + warmup...")
     t0 = time.perf_counter()
-    state0 = tracker.init_state()
-    final, (tracked, inl) = run(state0, grays[:WARMUP_FRAMES], depths[:WARMUP_FRAMES])
+    final, outs = run(tracker.init_state(), grays, depths)
     jax.block_until_ready(final)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    final, (tracked, inl) = run(tracker.init_state(), grays, depths)
+    final, outs = run(tracker.init_state(), grays, depths)
     jax.block_until_ready(final)
     dt = time.perf_counter() - t0
     fps = N_FRAMES / dt
-    n_tracked = int(np.asarray(tracked).sum())
+    tracked = np.asarray([o[0] for o in outs])
+    inl = np.asarray([o[1] for o in outs])
+    n_tracked = int(tracked.sum())
     log(
         f"{N_FRAMES} frames in {dt:.3f}s -> {fps:.1f} fps | tracked {n_tracked}/{N_FRAMES} "
         f"| mean inliers {float(np.asarray(inl)[np.asarray(tracked)].mean() if n_tracked else 0):.0f}"

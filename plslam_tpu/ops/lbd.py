@@ -1,0 +1,113 @@
+"""LBD (Line Band Descriptor), device-side.
+
+The reference uses cv::line_descriptor::BinaryDescriptor (32-byte binary LBD
+over 9 bands x 7 px of the line support region; SURVEY.md §9). That contrib
+module has no cv2 oracle in this environment (SURVEY.md §5), so this is a
+from-spec implementation with a NumPy reference oracle in the tests:
+
+  1. Line support region: S longitudinal samples along the segment x
+     (BANDS * BAND_W) perpendicular offsets, sampled bilinearly from the
+     image gradients (gx, gy).
+  2. Gradients are rotated into the line frame (d_parallel, d_perp).
+  3. Per band: mean and std of g_perp and g_parallel over the band's rows
+     -> BANDS * 4 floats, L2-normalized (the classical LBD vector).
+  4. Binarized to 256 bits by a fixed seeded set of coordinate pairs
+     (bit = v[i] > v[j]) -> u8[32], so line descriptors ride the exact same
+     MXU Hamming machinery as ORB (matching/points.hamming_matrix).
+
+Like the ORB BRIEF pattern, the binarization pairs are our own fixed data:
+descriptors are internally consistent which is all the system needs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu import constants as C
+
+N_SAMPLES = 24  # longitudinal samples along the segment
+BANDS = C.LBD_BANDS  # 9
+BAND_W = C.LBD_BAND_WIDTH  # 7
+N_BITS = 256
+_PAIR_SEED = 0x1BD
+
+
+@functools.lru_cache(maxsize=1)
+def _pairs():
+    dim = BANDS * 4
+    rs = np.random.RandomState(_PAIR_SEED)
+    pairs = set()
+    while len(pairs) < N_BITS:
+        i, j = rs.randint(0, dim), rs.randint(0, dim)
+        if i != j and (i, j) not in pairs:
+            pairs.add((i, j))
+    arr = np.asarray(sorted(pairs), np.int32)
+    rs.shuffle(arr)
+    return arr[:, 0], arr[:, 1]  # numpy: lru_cache must not hold tracers
+
+
+def image_gradients(img):
+    """Central-difference gradients, f32[H, W] -> (gx, gy)."""
+    gx = jnp.zeros_like(img).at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
+    gy = jnp.zeros_like(img).at[1:-1, :].set((img[2:, :] - img[:-2, :]) * 0.5)
+    return gx, gy
+
+
+def _bilinear(img, x, y):
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    ax, ay = x - x0, y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (1 - ay) * ((1 - ax) * v00 + ax * v01) + ay * ((1 - ax) * v10 + ax * v11)
+
+
+def lbd_vector(gx, gy, sp, ep, valid):
+    """Float LBD band vectors. sp/ep f32[L, 2] (x, y) -> f32[L, BANDS*4]."""
+    d = ep - sp
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / jnp.clip(length, 1e-6)
+    n = jnp.stack([-d[:, 1], d[:, 0]], -1)  # left normal
+
+    t = jnp.linspace(0.0, 1.0, N_SAMPLES)  # [S]
+    half = (BANDS * BAND_W - 1) / 2.0
+    off = jnp.arange(BANDS * BAND_W, dtype=jnp.float32) - half  # [B*W]
+    base = sp[:, None, :] + (ep - sp)[:, None, :] * t[None, :, None]  # [L,S,2]
+    pts = base[:, :, None, :] + n[:, None, None, :] * off[None, None, :, None]
+    x, y = pts[..., 0], pts[..., 1]  # [L, S, B*W]
+
+    gxs = _bilinear(gx, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
+    gys = _bilinear(gy, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
+    g_par = gxs * d[:, None, None, 0] + gys * d[:, None, None, 1]
+    g_prp = gxs * n[:, None, None, 0] + gys * n[:, None, None, 1]
+
+    # [L, S, BANDS, BAND_W] -> band stats over (S, BAND_W)
+    def stats(g):
+        gb = g.reshape(g.shape[0], N_SAMPLES, BANDS, BAND_W)
+        mean = gb.mean(axis=(1, 3))
+        std = gb.std(axis=(1, 3))
+        return mean, std
+
+    m_prp, s_prp = stats(g_prp)
+    m_par, s_par = stats(g_par)
+    v = jnp.concatenate([m_prp, s_prp, m_par, s_par], -1)  # [L, BANDS*4]
+    v = v / jnp.clip(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
+    return jnp.where(valid[:, None], v, 0.0)
+
+
+def lbd_descriptor(gx, gy, sp, ep, valid):
+    """-> u8[L, 32] binary LBD."""
+    v = lbd_vector(gx, gy, sp, ep, valid)
+    ii, jj = (jnp.asarray(a) for a in _pairs())
+    bits = (v[:, ii] > v[:, jj]).astype(jnp.uint32).reshape(v.shape[0], 32, 8)
+    pw = jnp.asarray((1 << np.arange(8, dtype=np.uint32)).astype(np.uint32))
+    return jnp.sum(bits * pw[None, None, :], -1).astype(jnp.uint8)

@@ -56,7 +56,17 @@ class LocalMapper:
             ((found_ratio < C.CULL_FOUND_RATIO) & (m.pt_visible > 2))
             | ((age >= 2) & (m.pt_nobs <= C.KF_CULL_MIN_OBS))
         )
-        return m._replace(pt_valid=m.pt_valid & ~bad)
+        # MapLineCulling: same policy on the line twin
+        ln_ratio = m.ln_found / jnp.clip(m.ln_visible, 1.0)
+        ln_age = kf_id - m.ln_first_kf
+        ln_recent = (ln_age >= 1) & (ln_age <= 3) & (m.ln_first_kf < kf_id)
+        ln_bad = m.ln_valid & ln_recent & (
+            ((ln_ratio < C.CULL_FOUND_RATIO) & (m.ln_visible > 2))
+            | ((ln_age >= 2) & (m.ln_nobs <= C.KF_CULL_MIN_OBS))
+        )
+        return m._replace(
+            pt_valid=m.pt_valid & ~bad, ln_valid=m.ln_valid & ~ln_bad
+        )
 
     def process(self, m: MapState, kf_id: int) -> MapState:
         m = self._cull(m, jnp.int32(kf_id))

@@ -40,10 +40,11 @@ from plslam_tpu.config import Settings
 from plslam_tpu.features.frame import FrameData
 from plslam_tpu.features.orb import inv_sigma2_table
 from plslam_tpu.geometry import camera, se3
+from plslam_tpu.matching import lines as line_ops
 from plslam_tpu.matching import points as match_ops
 from plslam_tpu.ops import brief
 from plslam_tpu.slammap.state import MapState, empty_map
-from plslam_tpu.solvers.pose import PointObs, pose_optimization
+from plslam_tpu.solvers.pose import LineObs, PointObs, pose_optimization
 
 ST_UNINIT = 0
 ST_OK = 1
@@ -138,9 +139,9 @@ class Tracker:
         return jax.jit(self._step)
 
     # ------------------------------------------------------------- map insert
-    def _insert_keyframe(self, m: MapState, frame: FrameData, Tcw, lm_of_kp, do, frame_id):
-        """Masked KeyFrame + MapPoint creation (Tracking::CreateNewKeyFrame
-        ~1100 + StereoInitialization ~450 share this)."""
+    def _insert_keyframe(self, m: MapState, frame: FrameData, Tcw, lm_of_kp, ml_of_ln, do, frame_id):
+        """Masked KeyFrame + MapPoint/MapLine creation
+        (Tracking::CreateNewKeyFrame ~1100 + StereoInitialization ~450)."""
         do = do & (m.n_kf < self.max_kf)
         k = jnp.minimum(m.n_kf, self.max_kf - 1)
 
@@ -188,6 +189,45 @@ class Tracker:
             # nObs += 2 when mvuRight >= 0) — keyframe policy depends on this
             pt_nobs=m.pt_nobs.at[scatter_id].set(2, mode="drop"),
             n_pt=m.n_pt + jnp.sum(promote),
+        )
+
+        # --- new map lines from unmatched keylines with valid endpoint
+        # depths (LSDmatcher-era forks backproject both endpoints; we require
+        # both within the trusted close range) ---
+        ln_cand = (
+            frame.ln_valid
+            & (frame.ln_depth_sp > 0)
+            & (frame.ln_depth_ep > 0)
+            & (frame.ln_depth_sp < self.depth_th)
+            & (frame.ln_depth_ep < self.depth_th)
+            & (ml_of_ln < 0)
+            & do
+        )
+        ln_pos_new = jnp.cumsum(ln_cand.astype(jnp.int32)) - 1
+        ln_new_id = m.n_ln + ln_pos_new
+        ln_cand &= ln_new_id < self.max_maplines
+        ln_scatter = jnp.where(ln_cand, ln_new_id, self.max_maplines)
+        Twc_l = se3.inverse(Tcw)
+        sw_w = se3.transform(Twc_l, camera.backproject(self.K, frame.ln_sp, frame.ln_depth_sp))
+        ew_w = se3.transform(Twc_l, camera.backproject(self.K, frame.ln_ep, frame.ln_depth_ep))
+        m = m._replace(
+            ln_sw=m.ln_sw.at[ln_scatter].set(sw_w, mode="drop"),
+            ln_ew=m.ln_ew.at[ln_scatter].set(ew_w, mode="drop"),
+            ln_desc=m.ln_desc.at[ln_scatter].set(frame.ln_desc, mode="drop"),
+            ln_valid=m.ln_valid.at[ln_scatter].set(True, mode="drop"),
+            ln_ref_kf=m.ln_ref_kf.at[ln_scatter].set(k, mode="drop"),
+            ln_first_kf=m.ln_first_kf.at[ln_scatter].set(k, mode="drop"),
+            ln_nobs=m.ln_nobs.at[ln_scatter].set(2, mode="drop"),
+            n_ln=m.n_ln + jnp.sum(ln_cand),
+        )
+        row_ln = jnp.where(ln_cand, ln_new_id, jnp.where(do, ml_of_ln, -1))
+        ln_matched = do & frame.ln_valid & (ml_of_ln >= 0)
+        m = m._replace(
+            kf_ln_obs=m.kf_ln_obs.at[k].set(jnp.where(do, frame.ln_line2d, m.kf_ln_obs[k])),
+            kf_ln_idx=m.kf_ln_idx.at[k].set(jnp.where(do, row_ln, m.kf_ln_idx[k])),
+            kf_ln_valid=m.kf_ln_valid.at[k].set(jnp.where(do, frame.ln_valid, m.kf_ln_valid[k])),
+            ln_nobs=m.ln_nobs.at[jnp.where(ln_matched, ml_of_ln, self.max_maplines)].add(2, mode="drop"),
+            ln_desc=m.ln_desc.at[jnp.where(ln_matched, ml_of_ln, self.max_maplines)].set(frame.ln_desc, mode="drop"),
         )
 
         # --- keyframe row ---
@@ -245,6 +285,23 @@ class Tracker:
         )
         return uv, pred_oct, vis
 
+    def _project_lines(self, m: MapState, Tcw):
+        """Project map-line endpoints -> (mid [Q,2], angle [Q], vis [Q])."""
+        sp_c = se3.transform(Tcw, m.ln_sw)
+        ep_c = se3.transform(Tcw, m.ln_ew)
+        sp_uv = camera.project(self.K, sp_c)
+        ep_uv = camera.project(self.K, ep_c)
+        mid = 0.5 * (sp_uv + ep_uv)
+        seg = ep_uv - sp_uv
+        ang = jnp.arctan2(seg[:, 1], seg[:, 0])
+        vis = (
+            m.ln_valid
+            & (sp_c[:, 2] > 0.05)
+            & (ep_c[:, 2] > 0.05)
+            & camera.in_image(mid, self.width, self.height)
+        )
+        return mid, ang, vis
+
     # ------------------------------------------------------------- pose solve
     def _solve_pose(self, frame: FrameData, lm_of_kp, pt_pos, Tcw0):
         has = frame.valid & (lm_of_kp >= 0)
@@ -269,8 +326,8 @@ class Tracker:
             enough = jnp.sum(frame.valid & (frame.depth > 0)) > min_init
             Tcw = se3.identity()
             m, row_lm, k = self._insert_keyframe(
-                ts.m, frame, Tcw, jnp.full(self.max_feat, -1, jnp.int32), enough,
-                ts.frame_id,
+                ts.m, frame, Tcw, jnp.full(self.max_feat, -1, jnp.int32),
+                jnp.full(self.max_lines, -1, jnp.int32), enough, ts.frame_id,
             )
             new_ts = ts._replace(
                 m=m,
@@ -377,8 +434,48 @@ class Tracker:
                 mode="drop",
             )
             n2 = jnp.sum(lm_of_kp >= 0)
-            Tcw2, inl2 = self._solve_pose(frame, lm_of_kp, m.pt_pos, Tcw1)
+
+            # ---- 2b. map-line matching (LSDmatcher::SearchByProjection) ----
+            ml_mid, ml_ang, ml_vis = self._project_lines(m, Tcw1)
+            ln_mid = 0.5 * (frame.ln_sp + frame.ln_ep)
+            ml_pm1 = brief.unpack_bits_pm1(m.ln_desc)
+            match_ln, _ = line_ops.search_lines_by_projection(
+                ln_mid, frame.ln_angle, frame.ln_pm1, frame.ln_valid,
+                ml_mid, ml_ang, ml_pm1, ml_vis,
+            )
+            src_ln = jnp.where(match_ln >= 0, match_ln, self.max_lines)
+            ml_of_ln = jnp.full(self.max_lines, -1, jnp.int32).at[src_ln].set(
+                jnp.where(
+                    match_ln >= 0,
+                    jnp.arange(self.max_maplines, dtype=jnp.int32),
+                    -1,
+                ),
+                mode="drop",
+            )
+            has_ln = (ml_of_ln >= 0) & frame.ln_valid
+            line_obs = LineObs(
+                sw=m.ln_sw[jnp.clip(ml_of_ln, 0)],
+                ew=m.ln_ew[jnp.clip(ml_of_ln, 0)],
+                line2d=frame.ln_line2d,
+                inv_sigma2=jnp.ones(self.max_lines),
+                valid=has_ln,
+            )
+
+            # ---- 2c. joint point+line pose refinement ----
+            has2 = frame.valid & (lm_of_kp >= 0)
+            pts2 = PointObs(
+                xw=m.pt_pos[jnp.clip(lm_of_kp, 0)],
+                obs=frame.uvr,
+                inv_sigma2=self.inv_sigma2[jnp.clip(frame.octave, 0, self.n_levels - 1)],
+                is_stereo=frame.depth > 0,
+                valid=has2,
+            )
+            Tcw2, inl2, inl_ln = pose_optimization(
+                Tcw1, pts2, self.K, self.bf, lines=line_obs
+            )
+            inl2 &= has2
             lm_of_kp = jnp.where(inl2, lm_of_kp, -1)
+            ml_of_ln = jnp.where(inl_ln & has_ln, ml_of_ln, -1)
             n_inliers = jnp.sum(lm_of_kp >= 0)
 
             ok = n_inliers >= C.MIN_INLIERS_TRACK_LOCAL_MAP
@@ -389,6 +486,10 @@ class Tracker:
                 pt_visible=m.pt_visible + vis_all.astype(jnp.float32),
                 pt_found=m.pt_found.at[
                     jnp.where(lm_of_kp >= 0, lm_of_kp, self.max_pts)
+                ].add(1.0, mode="drop"),
+                ln_visible=m.ln_visible + ml_vis.astype(jnp.float32),
+                ln_found=m.ln_found.at[
+                    jnp.where(ml_of_ln >= 0, ml_of_ln, self.max_maplines)
                 ].add(1.0, mode="drop"),
             )
 
@@ -413,7 +514,7 @@ class Tracker:
             need_kf = ok & (c1 | c2) & (n_inliers > 15)
 
             m, row_lm, k = self._insert_keyframe(
-                m, frame, Tcw2, lm_of_kp, need_kf, ts.frame_id
+                m, frame, Tcw2, lm_of_kp, ml_of_ln, need_kf, ts.frame_id
             )
             lm_final = jnp.where(need_kf, row_lm, lm_of_kp)
             ref_kf = jnp.where(need_kf, k, ts.ref_kf)

@@ -84,7 +84,12 @@ class System:
                 else np.array([0.114, 0.587, 0.299])
             )
             gray = (rgb.astype(np.float32) @ w).astype(np.float32)
-        frame = self.builder(jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32))
+        ln_sp, ln_ep, ln_valid = self.builder.detect_lines(np.asarray(gray))
+        frame = self.builder(
+            jnp.asarray(gray, jnp.float32),
+            jnp.asarray(depth, jnp.float32),
+            ln_sp, ln_ep, ln_valid,
+        )
         self.state, out = self.tracker.step(self.state, frame)
         new_kf = bool(out.new_kf)
         if new_kf:

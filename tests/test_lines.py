@@ -1,0 +1,155 @@
+"""Line pipeline: LSD extraction, LBD descriptors (NumPy oracle — no cv2
+line_descriptor in this env, SURVEY.md §5), matcher gates, low-texture e2e
+(driver config 3 analogue)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from plslam_tpu.io.synthetic import SyntheticSequence
+from plslam_tpu.ops import lbd, lsd
+
+
+@pytest.fixture(scope="module")
+def line_seq():
+    return SyntheticSequence(n_frames=12, height=240, width=320, seed=5, low_texture=True)
+
+
+class TestLSD:
+    def test_detects_lines(self, line_seq):
+        gray, _, _ = line_seq.frame(0)
+        sp, ep, valid = lsd.detect_lines_host(gray)
+        assert valid.sum() >= 5
+        lengths = np.hypot(*(ep[valid] - sp[valid]).T)
+        diag = np.hypot(*gray.shape)
+        assert (lengths >= 0.025 * diag - 1e-3).all()
+        assert (lengths[:-1] >= lengths[1:] - 1e-3).all()  # sorted by length
+
+    def test_empty_image(self):
+        sp, ep, valid = lsd.detect_lines_host(np.full((120, 160), 128.0, np.float32))
+        assert valid.sum() == 0
+
+
+class TestLBD:
+    def _numpy_lbd_vector(self, gx, gy, sp, ep):
+        """Independent NumPy re-derivation of the band statistics."""
+        d = ep - sp
+        ln = np.linalg.norm(d)
+        d = d / ln
+        n = np.array([-d[1], d[0]])
+        S, B, W = lbd.N_SAMPLES, lbd.BANDS, lbd.BAND_W
+        t = np.linspace(0, 1, S)
+        half = (B * W - 1) / 2
+        off = np.arange(B * W) - half
+        out_par = np.zeros((S, B * W))
+        out_prp = np.zeros((S, B * W))
+        H, Wd = gx.shape
+        for i, ti in enumerate(t):
+            base = sp + (ep - sp) * ti
+            for j, oj in enumerate(off):
+                x, y = base + n * oj
+                x = min(max(x, 0.0), Wd - 1.001)
+                y = min(max(y, 0.0), H - 1.001)
+                x0, y0 = int(x), int(y)
+                ax, ay = x - x0, y - y0
+                def bil(img):
+                    return ((1 - ay) * ((1 - ax) * img[y0, x0] + ax * img[y0, x0 + 1])
+                            + ay * ((1 - ax) * img[y0 + 1, x0] + ax * img[y0 + 1, x0 + 1]))
+                gxs, gys = bil(gx), bil(gy)
+                out_par[i, j] = gxs * d[0] + gys * d[1]
+                out_prp[i, j] = gxs * n[0] + gys * n[1]
+        def stats(g):
+            gb = g.reshape(S, B, W)
+            return gb.mean(axis=(0, 2)), gb.std(axis=(0, 2))
+        m_prp, s_prp = stats(out_prp)
+        m_par, s_par = stats(out_par)
+        v = np.concatenate([m_prp, s_prp, m_par, s_par])
+        return v / max(np.linalg.norm(v), 1e-6)
+
+    def test_vector_matches_numpy_oracle(self, line_seq):
+        gray, _, _ = line_seq.frame(0)
+        sp, ep, valid = lsd.detect_lines_host(gray, capacity=8)
+        gxj, gyj = lbd.image_gradients(jnp.asarray(gray))
+        v = np.asarray(lbd.lbd_vector(gxj, gyj, jnp.asarray(sp), jnp.asarray(ep), jnp.asarray(valid)))
+        gx, gy = np.asarray(gxj), np.asarray(gyj)
+        for i in range(int(valid.sum())):
+            ref = self._numpy_lbd_vector(gx, gy, sp[i], ep[i])
+            np.testing.assert_allclose(v[i], ref, atol=1e-4)
+
+    def test_descriptor_stability_across_frames(self, line_seq):
+        """The same physical line in consecutive frames must have a much
+        smaller LBD Hamming distance than unrelated lines."""
+        g0, _, _ = line_seq.frame(0)
+        g1, _, _ = line_seq.frame(1)
+        sp0, ep0, v0 = lsd.detect_lines_host(g0, capacity=32)
+        sp1, ep1, v1 = lsd.detect_lines_host(g1, capacity=32)
+        gx0, gy0 = lbd.image_gradients(jnp.asarray(g0))
+        gx1, gy1 = lbd.image_gradients(jnp.asarray(g1))
+        d0 = np.asarray(lbd.lbd_descriptor(gx0, gy0, jnp.asarray(sp0), jnp.asarray(ep0), jnp.asarray(v0)))
+        d1 = np.asarray(lbd.lbd_descriptor(gx1, gy1, jnp.asarray(sp1), jnp.asarray(ep1), jnp.asarray(v1)))
+        # geometric correspondence: nearest midpoints (tiny motion)
+        m0 = (sp0 + ep0) / 2
+        m1 = (sp1 + ep1) / 2
+        same, diff = [], []
+        for i in np.where(v0)[0]:
+            j = np.argmin(np.linalg.norm(m1 - m0[i], axis=1))
+            if v1[j] and np.linalg.norm(m1[j] - m0[i]) < 5:
+                same.append(np.unpackbits(d0[i] ^ d1[j]).sum())
+            for k in np.where(v1)[0]:
+                if np.linalg.norm(m1[k] - m0[i]) > 60:
+                    diff.append(np.unpackbits(d0[i] ^ d1[k]).sum())
+        assert len(same) >= 5
+        assert np.median(same) + 30 < np.median(diff), (np.median(same), np.median(diff))
+
+
+class TestLineMatcher:
+    def test_gates(self, rng):
+        from plslam_tpu.matching.lines import search_lines_by_projection
+        from plslam_tpu.ops import brief
+
+        L = 20
+        desc = rng.integers(0, 256, (L, 32)).astype(np.uint8)
+        pm1 = brief.unpack_bits_pm1(jnp.asarray(desc), jnp.float32)
+        mid = rng.uniform(50, 250, (L, 2)).astype(np.float32)
+        ang = rng.uniform(-np.pi, np.pi, L).astype(np.float32)
+        valid = jnp.ones(L, bool)
+        # identical sets -> identity matching
+        match, _ = search_lines_by_projection(
+            jnp.asarray(mid), jnp.asarray(ang), pm1, valid,
+            jnp.asarray(mid), jnp.asarray(ang), pm1, valid,
+        )
+        np.testing.assert_array_equal(np.asarray(match), np.arange(L))
+        # rotate predictions 90 deg -> angle gate kills everything
+        match2, _ = search_lines_by_projection(
+            jnp.asarray(mid), jnp.asarray(ang), pm1, valid,
+            jnp.asarray(mid), jnp.asarray(ang + np.pi / 2), pm1, valid,
+        )
+        assert (np.asarray(match2) == -1).all()
+        # move predictions far -> window gate kills everything
+        match3, _ = search_lines_by_projection(
+            jnp.asarray(mid), jnp.asarray(ang), pm1, valid,
+            jnp.asarray(mid + 200.0), jnp.asarray(ang), pm1, valid,
+        )
+        assert (np.asarray(match3) == -1).all()
+
+
+class TestLowTextureE2E:
+    def test_config3_line_dominant(self, line_seq):
+        """Driver config 3 analogue: low-texture scene, lines must carry."""
+        from plslam_tpu.eval import ate_rmse
+        from plslam_tpu.io.trajectory import load_trajectory_tum
+        from plslam_tpu.system import System
+
+        slam = System(line_seq.settings, max_pts=4096, max_kf=32)
+        ok = 0
+        for i in range(line_seq.n_frames):
+            g, d, t = line_seq.frame(i)
+            ok += slam.track_rgbd(g, d, t) is not None
+        assert ok == line_seq.n_frames
+        m = slam.state.m
+        assert int(np.asarray(m.ln_valid).sum()) > 10  # map lines created
+        assert int((np.asarray(m.ln_nobs) > 2).sum()) > 5  # lines re-observed
+        slam.save_trajectory_tum("/tmp/_lines_traj.txt")
+        rmse, n = ate_rmse(load_trajectory_tum("/tmp/_lines_traj.txt"), line_seq.gt_trajectory())
+        assert rmse < 0.02, f"ATE {rmse*100:.2f} cm"
