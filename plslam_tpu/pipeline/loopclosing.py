@@ -1,0 +1,296 @@
+"""Loop closing + relocalization.
+
+Replaces the LoopClosing thread (src/LoopClosing.cc §Run ~40) and
+Tracking::Relocalization (~1300). The reference's flow — DetectLoop (~80),
+ComputeSim3 (~200), CorrectLoop (~400) — is deeply host-sequential and RARE,
+so the orchestration stays on the host (SURVEY.md §10 hard-part 5) while
+every inner computation is a jitted device program:
+
+  * BoW: seeded-codebook quantization + L1 scoring (loopclosing/vocab.py).
+  * DetectLoop: score vs all keyframes, gated by the minimum score among
+    the current KF's covisible neighbours; candidate covisibility groups
+    must be consistent across LOOP_CONSISTENT_GROUPS consecutive keyframes.
+  * ComputeSim3: dense descriptor matching between the two keyframes'
+    features -> matched landmark pairs -> batched Horn+RANSAC (fixed scale).
+  * CorrectLoop: propagate the corrected Sim3 over the current covisible
+    window, optimize the essential graph (solvers/pose_graph.py), move
+    landmarks/lines with their reference keyframes, then (optionally) a
+    global BA pass (solvers/local_ba.py with a map-wide window).
+
+Relocalization: BoW candidates -> dense matching against the candidate
+keyframe's landmarks -> pose solve; >= 50 inliers revives tracking
+(MIN_INLIERS_AFTER_RELOC).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu import constants as C
+from plslam_tpu.geometry import se3
+from plslam_tpu.loopclosing.vocab import Vocabulary, l1_score
+from plslam_tpu.matching.points import match_descriptors
+from plslam_tpu.ops import brief
+from plslam_tpu.slammap.state import MapState, covisibility
+from plslam_tpu.solvers.pose import PointObs, pose_optimization
+from plslam_tpu.solvers.pose_graph import correct_landmarks, optimize_essential_graph
+from plslam_tpu.solvers.sim3_solver import solve_sim3_ransac
+
+
+class LoopCloser:
+    def __init__(self, tracker, vocab: Vocabulary | None = None, enable_gba: bool = True):
+        self.tracker = tracker
+        self.vocab = vocab or Vocabulary()
+        self.enable_gba = enable_gba
+        self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
+        self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
+        self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------ jit pieces
+    @functools.cached_property
+    def _bow_of_kf(self):
+        def f(desc, valid):
+            return self.vocab.bow(brief.unpack_bits_pm1(desc), valid)
+
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _match_kfs(self):
+        def f(desc_a, valid_a, desc_b, valid_b):
+            return match_descriptors(
+                brief.unpack_bits_pm1(desc_a), valid_a,
+                brief.unpack_bits_pm1(desc_b), valid_b,
+                th_dist=C.TH_LOW, nn_ratio=0.75,
+            )
+
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _sim3(self):
+        return jax.jit(
+            lambda x1, x2, valid, T1, T2: solve_sim3_ransac(
+                x1, x2, valid, self.tracker.K, T1, T2,
+                min_inliers=C.LOOP_SIM3_MIN_INLIERS,
+            )
+        )
+
+    @functools.cached_property
+    def _essential(self):
+        return jax.jit(optimize_essential_graph, static_argnames=("n_iters", "fix_scale"))
+
+    # -------------------------------------------------------------- detection
+    def _covis_row(self, m: MapState, k: int) -> np.ndarray:
+        cov = covisibility(m)
+        return np.asarray(cov[k])
+
+    def detect(self, m: MapState, k: int):
+        """-> candidate KF id or None (LoopClosing::DetectLoop ~80)."""
+        bow = np.asarray(self._bow_of_kf(m.kf_desc[k], m.kf_feat_valid[k]))
+        self.kf_bow[k] = bow
+        if k - self.last_loop_kf < C.LOOP_MIN_KFS_SINCE_LAST:
+            self._groups = []
+            return None
+        covis = self._covis_row(m, k)
+        neighbours = np.where(covis >= C.COVIS_TH)[0]
+        scores = np.asarray(l1_score(jnp.asarray(self.kf_bow), jnp.asarray(bow)))
+        min_score = scores[neighbours].min() if len(neighbours) else 0.05
+        n_kf = int(m.n_kf)
+        cand_mask = np.zeros(len(scores), bool)
+        cand_mask[:n_kf] = True
+        cand_mask[k] = False
+        cand_mask[neighbours] = False
+        cand_mask &= np.arange(len(scores)) < k - 5  # not temporally adjacent
+        cand_mask &= scores >= max(min_score, 1e-3)
+        cands = np.where(cand_mask)[0]
+        if len(cands) == 0:
+            self._groups = []
+            return None
+        # covisibility-consistency over consecutive keyframes (~3 groups)
+        cov_np = np.asarray(covisibility(m))
+        new_groups = []
+        best = None
+        for c in cands:
+            group = set(np.where(cov_np[c] >= C.COVIS_TH)[0].tolist()) | {int(c)}
+            consistency = 1
+            for g_prev, n_prev in self._groups:
+                if group & g_prev:
+                    consistency = max(consistency, n_prev + 1)
+            new_groups.append((group, consistency))
+            if consistency >= C.LOOP_CONSISTENT_GROUPS:
+                if best is None or scores[c] > scores[best]:
+                    best = int(c)
+        self._groups = new_groups
+        return best
+
+    # ------------------------------------------------------------ correction
+    def close_loop(self, state, k: int, cand: int):
+        """Sim3 solve + loop correction. Returns (state, closed: bool)."""
+        m = state.m
+        tr = self.tracker
+        # match features between the two keyframes, keep landmark pairs
+        mb, _ = self._match_kfs(
+            m.kf_desc[k], m.kf_feat_valid[k], m.kf_desc[cand], m.kf_feat_valid[cand]
+        )
+        mb = np.asarray(mb)
+        lm_k = np.asarray(m.kf_lm_idx[k])
+        lm_c = np.asarray(m.kf_lm_idx[cand])
+        pair_ok = (mb >= 0) & (lm_k >= 0)
+        pair_ok[pair_ok] &= lm_c[mb[pair_ok]] >= 0
+        if pair_ok.sum() < C.LOOP_BOW_MIN_MATCHES:
+            return state, False
+        x1 = m.pt_pos[jnp.asarray(np.where(pair_ok, lm_k, 0))]
+        x2 = m.pt_pos[jnp.asarray(np.where(pair_ok, lm_c[np.clip(mb, 0, None)], 0))]
+        res = self._sim3(
+            x1, x2, jnp.asarray(pair_ok), m.kf_pose[k], m.kf_pose[cand]
+        )
+        if not bool(res.ok):
+            return state, False
+
+        # corrected pose of the current KF: T_c1c2 composed with the loop
+        # KF's (trusted) pose — LoopClosing::CorrectLoop (~400)
+        T_12 = np.eye(4, dtype=np.float32)
+        T_12[:3, :3] = np.asarray(res.R) * float(res.s)
+        T_12[:3, 3] = np.asarray(res.t)
+        poses_old = m.kf_pose
+        T_cur_old = np.asarray(poses_old[k])
+        T_cur_new = T_12 @ np.asarray(poses_old[cand])
+        delta = jnp.asarray(T_cur_new @ np.linalg.inv(T_cur_old))
+
+        # propagate over the current covisible window
+        covis = self._covis_row(m, k)
+        window = covis >= C.COVIS_TH
+        window[k] = True
+        window_j = jnp.asarray(window)
+        poses_prop = jnp.where(
+            window_j[:, None, None], jnp.einsum("ij,kjl->kil", delta, poses_old), poses_old
+        )
+
+        # essential graph: spanning tree + strong covisibility + loop edge;
+        # measurements from PRE-correction poses, loop edge from the solve
+        K_cap = tr.max_kf
+        cov_np = np.asarray(covisibility(m))
+        edge = cov_np >= C.COVIS_ESSENTIAL_TH
+        ids = np.arange(K_cap)
+        tree = np.zeros_like(edge)
+        tree[ids[1:], ids[:-1]] = True  # spanning tree approx: insertion chain
+        edge = edge | tree
+        edge[k, cand] = edge[cand, k] = True
+        Sm_R, Sm_t, Sm_s = self._edge_measurements(np.asarray(poses_old), edge)
+        # loop edge measurement: S_k * S_cand^-1 from the CORRECTED relative
+        M = T_cur_new @ np.linalg.inv(np.asarray(poses_old[cand]))
+        for (a, b, Mab) in ((k, cand, M), (cand, k, np.linalg.inv(M))):
+            Sm_R[a, b] = Mab[:3, :3]
+            Sm_t[a, b] = Mab[:3, 3]
+            Sm_s[a, b] = 1.0
+        fixed = np.zeros(K_cap, bool)
+        fixed[cand] = True
+        poses_new = self._essential(
+            poses_prop,
+            m.kf_valid,
+            jnp.asarray(fixed),
+            jnp.asarray(np.triu(edge | edge.T, 1)),
+            jnp.asarray(Sm_R),
+            jnp.asarray(Sm_t),
+            jnp.asarray(Sm_s),
+            n_iters=C.ESSENTIAL_GRAPH_ITERS // 2,
+        )
+
+        # move landmarks and line endpoints with their reference keyframes
+        new_pt = correct_landmarks(m.pt_pos, m.pt_valid, m.pt_ref_kf, poses_old, poses_new)
+        new_sw = correct_landmarks(m.ln_sw, m.ln_valid, m.ln_ref_kf, poses_old, poses_new)
+        new_ew = correct_landmarks(m.ln_ew, m.ln_valid, m.ln_ref_kf, poses_old, poses_new)
+        m = m._replace(kf_pose=poses_new, pt_pos=new_pt, ln_sw=new_sw, ln_ew=new_ew)
+
+        state = state._replace(
+            m=m,
+            last=state.last._replace(
+                Tcw=jnp.einsum("ij,jl->il", delta, state.last.Tcw)
+            ),
+            vel_ok=jnp.bool_(False),
+        )
+        self.last_loop_kf = k
+        self.n_loops_closed += 1
+
+        if self.enable_gba:
+            from plslam_tpu.solvers.local_ba import LocalBA
+
+            gba = LocalBA(
+                self.tracker,
+                window=min(64, tr.max_kf),
+                fixed=1,
+                local_pts=min(8192, tr.max_pts),
+            )
+            state = state._replace(m=gba.run(state.m, jnp.int32(k)))
+        return state, True
+
+    @staticmethod
+    def _edge_measurements(poses, edge):
+        """S_meas[i, j] = T_i * T_j^-1 from current poses (host, sparse)."""
+        K = poses.shape[0]
+        Sm_R = np.tile(np.eye(3, dtype=np.float32), (K, K, 1, 1))
+        Sm_t = np.zeros((K, K, 3), np.float32)
+        Sm_s = np.ones((K, K), np.float32)
+        for a, b in zip(*np.where(edge | edge.T)):
+            M = poses[a] @ np.linalg.inv(poses[b])
+            Sm_R[a, b] = M[:3, :3]
+            Sm_t[a, b] = M[:3, 3]
+        return Sm_R, Sm_t, Sm_s
+
+    def process(self, state, kf_id: int):
+        """Host entry point after each keyframe insertion."""
+        cand = self.detect(state.m, kf_id)
+        if cand is None:
+            return state, False
+        return self.close_loop(state, kf_id, cand)
+
+    # ---------------------------------------------------------- relocalization
+    def relocalize(self, state, frame):
+        """Tracking::Relocalization (~1300): BoW candidates -> landmark
+        matching -> pose solve. Returns (state, ok)."""
+        m = state.m
+        tr = self.tracker
+        bow = np.asarray(self._bow_of_kf(frame.desc, frame.valid))
+        scores = np.array(l1_score(jnp.asarray(self.kf_bow), jnp.asarray(bow)))
+        scores[int(m.n_kf):] = -1
+        order = np.argsort(-scores)[:5]
+        for cand in order:
+            if scores[cand] <= 0:
+                break
+            mb, _ = self._match_kfs(
+                frame.desc, frame.valid, m.kf_desc[cand], m.kf_feat_valid[cand]
+            )
+            mb = np.asarray(mb)
+            lm_c = np.asarray(m.kf_lm_idx[cand])
+            lm_of_kp = np.where((mb >= 0) & (lm_c[np.clip(mb, 0, None)] >= 0),
+                                lm_c[np.clip(mb, 0, None)], -1).astype(np.int32)
+            if (lm_of_kp >= 0).sum() < C.MIN_MATCHES_REF_KF:
+                continue
+            has = jnp.asarray(lm_of_kp >= 0) & frame.valid
+            pts = PointObs(
+                xw=m.pt_pos[jnp.clip(jnp.asarray(lm_of_kp), 0)],
+                obs=frame.uvr,
+                inv_sigma2=jnp.asarray(tr.inv_sigma2)[jnp.clip(frame.octave, 0, tr.n_levels - 1)],
+                is_stereo=frame.depth > 0,
+                valid=has,
+            )
+            Tcw, inl, _ = pose_optimization(m.kf_pose[cand], pts, tr.K, tr.bf)
+            n = int(np.asarray(inl & has).sum())
+            if n >= C.MIN_INLIERS_AFTER_RELOC:
+                state = state._replace(
+                    status=jnp.int32(1),
+                    vel_ok=jnp.bool_(False),
+                    ref_kf=jnp.int32(int(cand)),
+                    last=state.last._replace(
+                        uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
+                        desc=frame.desc, depth=frame.depth, valid=frame.valid,
+                        lm_idx=jnp.where(inl & has, jnp.asarray(lm_of_kp), -1),
+                        Tcw=Tcw,
+                    ),
+                )
+                return state, True
+        return state, False

@@ -62,7 +62,12 @@ class System:
 
             self._mapper = LocalMapper(self.tracker)
         self._loop = None
+        if self.use_loop_closing:
+            from plslam_tpu.pipeline.loopclosing import LoopCloser
+
+            self._loop = LoopCloser(self.tracker)
         self.localization_only = False
+        self.n_loops_closed = 0
         # per-frame trajectory log (host side): SaveTrajectoryTUM replay data
         self._timestamps: list[float] = []
         self._kf_timestamps: dict[int, float] = {}
@@ -99,7 +104,11 @@ class System:
                 m=self._mapper.process(self.state.m, int(out.kf_id))
             )
         if self._loop is not None and new_kf and not self.localization_only:
-            self.state = self._loop.process(self.state, int(out.kf_id))
+            self.state, closed = self._loop.process(self.state, int(out.kf_id))
+            if closed:
+                self.n_loops_closed = self._loop.n_loops_closed
+        if self._loop is not None and int(self.state.status) == 2:  # LOST
+            self.state, recovered = self._loop.relocalize(self.state, frame)
 
         self._timestamps.append(float(timestamp))
         self._rel_poses.append(np.asarray(out.rel_pose, np.float64))
