@@ -136,12 +136,27 @@ def compose(A, B):
 
 
 def transform(T, p):
-    """Apply [..., 4, 4] to points [..., N, 3] (or [..., 3])."""
+    """Apply [..., 4, 4] to points [..., N, 3] (or [..., 3]).
+
+    Elementwise expansion, NOT a matmul: [N, 3] x [3, 3] matmuls at HIGHEST
+    precision lower to thousands of padded MXU passes on TPU (measured ~3 ms
+    for N=32768); nine VPU multiplies are ~microseconds and exact."""
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    if p.ndim >= 2 and p.shape[-2:] != (3,) and p.shape[-1] == 3 and p.ndim - 1 >= T.ndim - 2:
-        return mm(p, jnp.swapaxes(R, -1, -2)) + t[..., None, :]
-    return mm(R, p[..., None])[..., 0] + t
+    if p.ndim >= 2 and p.shape[-1] == 3 and p.ndim - 1 >= T.ndim - 2:
+        R_ = R[..., None, :, :]  # broadcast over the point axis
+        t_ = t[..., None, :]
+    else:
+        R_, t_ = R, t
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack(
+        [
+            R_[..., 0, 0] * x + R_[..., 0, 1] * y + R_[..., 0, 2] * z + t_[..., 0],
+            R_[..., 1, 0] * x + R_[..., 1, 1] * y + R_[..., 1, 2] * z + t_[..., 1],
+            R_[..., 2, 0] * x + R_[..., 2, 1] * y + R_[..., 2, 2] * z + t_[..., 2],
+        ],
+        -1,
+    )
 
 
 def rotation(T):

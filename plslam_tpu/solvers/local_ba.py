@@ -112,9 +112,16 @@ class LocalBA:
         fx, fy = K[0, 0], K[1, 1]
         slot = jnp.clip(lm_slot_row, 0)
         X = pos_local[slot]  # [R, F, 3]
-        P = (
-            jnp.einsum("rij,rfj->rfi", poses[:, :3, :3], X)
-            + poses[:, None, :3, 3]
+        Rp = poses[:, None, :3, :3]  # [R, 1, 3, 3]
+        tp = poses[:, None, :3, 3]
+        xx, yy, zz = X[..., 0], X[..., 1], X[..., 2]
+        P = jnp.stack(
+            [
+                Rp[..., 0, 0] * xx + Rp[..., 0, 1] * yy + Rp[..., 0, 2] * zz + tp[..., 0],
+                Rp[..., 1, 0] * xx + Rp[..., 1, 1] * yy + Rp[..., 1, 2] * zz + tp[..., 1],
+                Rp[..., 2, 0] * xx + Rp[..., 2, 1] * yy + Rp[..., 2, 2] * zz + tp[..., 2],
+            ],
+            -1,
         )
         Z = P[..., 2]
         ok = feat_ok & (lm_slot_row >= 0) & (Z > 1e-3)
@@ -131,17 +138,39 @@ class LocalBA:
         du = jnp.stack([fx * iz, zero, -fx * P[..., 0] * iz2], -1)
         dv = jnp.stack([zero, fy * iz, -fy * P[..., 1] * iz2], -1)
         dur = du + jnp.stack([zero, zero, bf * iz2], -1)
-        dpred = jnp.stack([du, dv, dur], -2)  # [R, F, 3, 3]
-        dP_dxi = jnp.concatenate(
+        # Elementwise Jacobians (batched tiny matmuls are catastrophic on
+        # TPU — see solvers/pose.py _rot_cols)
+        Xc, Yc, Zc = P[..., 0], P[..., 1], P[..., 2]
+
+        def rot_cols(A):  # A @ hat(P), elementwise
+            return jnp.stack(
+                [
+                    A[..., 1] * Zc - A[..., 2] * Yc,
+                    -A[..., 0] * Zc + A[..., 2] * Xc,
+                    A[..., 0] * Yc - A[..., 1] * Xc,
+                ],
+                -1,
+            )
+
+        def times_R(A):  # A @ R_pose, elementwise ([R,1,3,3] broadcast)
+            return jnp.stack(
+                [
+                    A[..., 0] * Rp[..., 0, 0] + A[..., 1] * Rp[..., 1, 0] + A[..., 2] * Rp[..., 2, 0],
+                    A[..., 0] * Rp[..., 0, 1] + A[..., 1] * Rp[..., 1, 1] + A[..., 2] * Rp[..., 2, 1],
+                    A[..., 0] * Rp[..., 0, 2] + A[..., 1] * Rp[..., 1, 2] + A[..., 2] * Rp[..., 2, 2],
+                ],
+                -1,
+            )
+
+        Jc = jnp.stack(
             [
-                jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3)),
-                -se3.hat(P),
+                jnp.concatenate([-du, rot_cols(du)], -1),
+                jnp.concatenate([-dv, rot_cols(dv)], -1),
+                jnp.concatenate([-dur, rot_cols(dur)], -1),
             ],
-            -1,
+            -2,
         )  # [R, F, 3, 6]
-        Jc = -mm(dpred, dP_dxi)
-        R_blk = poses[:, None, :3, :3]  # dP/dX = R
-        Jp = -mm(dpred, jnp.broadcast_to(R_blk, dpred.shape[:-2] + (3, 3)))
+        Jp = -jnp.stack([times_R(du), times_R(dv), times_R(dur)], -2)  # [R,F,3,3]
         # mono rows: zero third component
         Jc = Jc.at[..., 2, :].set(jnp.where(is_stereo[..., None], Jc[..., 2, :], 0.0))
         Jp = Jp.at[..., 2, :].set(jnp.where(is_stereo[..., None], Jp[..., 2, :], 0.0))
@@ -202,14 +231,23 @@ class LocalBA:
             bc = -jnp.einsum("rfai,rf,rfa->ri", Jc[:W], w[:W], r[:W])  # [W,6]
             slot = jnp.clip(lm_slot_row, 0)
             drop = jnp.where(lm_slot_row >= 0, slot, Pl)
-            Hpp = jnp.zeros((Pl + 1, 3, 3)).at[drop.reshape(-1)].add(
-                jnp.einsum("eai,e,eaj->eij", Jp.reshape(-1, 3, 3), w.reshape(-1), Jp.reshape(-1, 3, 3))
-            )[:Pl]
-            bp = jnp.zeros((Pl + 1, 3)).at[drop.reshape(-1)].add(
-                -jnp.einsum("eai,e,ea->ei", Jp.reshape(-1, 3, 3), w.reshape(-1), r.reshape(-1, 3))
-            )[:Pl]
+            # per-edge outer products as BROADCAST multiplies (einsum here
+            # lowers to thousands of tiny batched matmuls on TPU)
+            Jpf = Jp.reshape(-1, 3, 3)
+            wf = w.reshape(-1)
+            rf = r.reshape(-1, 3)
+            hpp_e = jnp.sum(
+                (wf[:, None, None, None] * Jpf[:, :, :, None]) * Jpf[:, :, None, :], axis=1
+            )  # [E, 3, 3]
+            Hpp = jnp.zeros((Pl + 1, 3, 3)).at[drop.reshape(-1)].add(hpp_e)[:Pl]
+            bp_e = -jnp.sum(wf[:, None, None] * Jpf * rf[:, :, None], axis=1)  # [E, 3]
+            bp = jnp.zeros((Pl + 1, 3)).at[drop.reshape(-1)].add(bp_e)[:Pl]
             # Hcp: [W, Pl, 6, 3] scattered over landmark slots per window row
-            hcp_e = jnp.einsum("rfai,rf,rfaj->rfij", Jc[:W], w[:W], Jp[:W])  # [W,F,6,3]
+            hcp_e = jnp.sum(
+                (w[:W][..., None, None, None] * Jc[:W][..., :, :, None])
+                * Jp[:W][..., :, None, :],
+                axis=2,
+            )  # [W, F, 6, 3]
             Hcp = jnp.zeros((W, Pl + 1, 6, 3)).at[
                 jnp.arange(W)[:, None], drop[:W]
             ].add(hcp_e)[:, :Pl]

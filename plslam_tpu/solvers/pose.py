@@ -50,13 +50,25 @@ class LineObs(NamedTuple):
     valid: jnp.ndarray  # bool[L]
 
 
+def _rot_cols(A, X, Y, Z):
+    """Elementwise A @ hat(P) for a row A [N, 3] of d(pred)/dP.
+
+    TPU note: batched [N, 3, 3] @ [N, 3, 6] matmuls lower to N separate
+    padded MXU ops (~30 ms for N=1024!); the whole Jacobian is therefore
+    built from elementwise VPU expressions."""
+    c0 = A[..., 1] * Z - A[..., 2] * Y
+    c1 = -A[..., 0] * Z + A[..., 2] * X
+    c2 = A[..., 0] * Y - A[..., 1] * X
+    return jnp.stack([c0, c1, c2], -1)
+
+
 def _point_residual_jac(Tcw, pts: PointObs, K, bf):
     """-> r f32[N, 3], J f32[N, 3, 6], depth_ok bool[N].
 
     J is d(residual)/d(xi) for left-multiplied update exp(xi) * Tcw, twist
-    order (rho, phi)."""
+    order (rho, phi). Closed form, fully elementwise (see _rot_cols note)."""
     fx, fy = K[0, 0], K[1, 1]
-    P = se3.transform(Tcw, pts.xw)  # [N, 3] camera frame
+    P = se3.transform(Tcw, pts.xw)  # [N, 3] camera frame (elementwise)
     X, Y, Z = P[..., 0], P[..., 1], P[..., 2]
     depth_ok = Z > 1e-3
     Zs = jnp.where(depth_ok, Z, 1.0)
@@ -74,13 +86,16 @@ def _point_residual_jac(Tcw, pts: PointObs, K, bf):
     du_dP = jnp.stack([fx * iz, zero, -fx * X * iz2], -1)
     dv_dP = jnp.stack([zero, fy * iz, -fy * Y * iz2], -1)
     dur_dP = du_dP + jnp.stack([zero, zero, bf * iz2], -1)
-    dpred_dP = jnp.stack([du_dP, dv_dP, dur_dP], -2)  # [N, 3, 3]
-    # dP/dxi = [I | -hat(P)]  (rho, phi)
-    dP_dxi = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3)), -se3.hat(P)],
-        -1,
+    # J = -dpred_dP @ [I | -hat(P)]: translation cols = -dpred_dP,
+    # rotation cols = +dpred_dP @ hat(P)
+    J = jnp.stack(
+        [
+            jnp.concatenate([-du_dP, _rot_cols(du_dP, X, Y, Z)], -1),
+            jnp.concatenate([-dv_dP, _rot_cols(dv_dP, X, Y, Z)], -1),
+            jnp.concatenate([-dur_dP, _rot_cols(dur_dP, X, Y, Z)], -1),
+        ],
+        -2,
     )  # [N, 3, 6]
-    J = -mm(dpred_dP, dP_dxi)  # [N, 3, 6]
     J = J.at[..., 2, :].set(
         jnp.where(pts.is_stereo[..., None], J[..., 2, :], 0.0)
     )
@@ -105,11 +120,10 @@ def _line_residual_jac(Tcw, lines: LineObs, K):
         du_dP = jnp.stack([fx * iz, zero, -fx * X * iz2], -1)
         dv_dP = jnp.stack([zero, fy * iz, -fy * Y * iz2], -1)
         dres_dP = l[..., 0:1] * du_dP + l[..., 1:2] * dv_dP  # [L, 3]
-        dP_dxi = jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3, dtype=P.dtype), P.shape[:-1] + (3, 3)), -se3.hat(P)],
-            -1,
-        )
-        dres_dxi = mm(dres_dP[..., None, :], dP_dxi)[..., 0, :]  # [L, 6]
+        # dres/dxi = dres_dP @ [I | -hat(P)] (elementwise, see _rot_cols)
+        dres_dxi = jnp.concatenate(
+            [dres_dP, -_rot_cols(dres_dP, X, Y, Z)], -1
+        )  # [L, 6]
         return res, dres_dxi, ok
 
     r_s, J_s, ok_s = endpoint(lines.sw)
@@ -163,8 +177,13 @@ def pose_optimization(
         delta2 = _chi2_threshold_pts(pts.is_stereo)
         w = _huber_weight(chi2, delta2, robust) * pts.inv_sigma2
         w = jnp.where(active_pts & pts.valid & ok, w, 0.0)
-        H = jnp.einsum("nri,n,nrj->ij", J, w, J)
-        b = -jnp.einsum("nri,n,nr->i", J, w, r)  # GN: H delta = -J^T W r
+        # flat accumulation: ONE [6, 3N] x [3N, 6] matmul (batched-per-point
+        # einsums lower to N tiny MXU ops on TPU — catastrophic)
+        Jf = J.reshape(-1, 6)
+        wf = jnp.broadcast_to(w[:, None], w.shape + (3,)).reshape(-1)
+        Jw = Jf * wf[:, None]
+        H = mm(Jw.T, Jf)
+        b = -mm(Jw.T, r.reshape(-1, 1))[:, 0]  # GN: H delta = -J^T W r
         # robustified cost (g2o: sum rho(chi2))
         rho = jnp.where(
             chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.clip(chi2, 0)) - delta2
@@ -179,8 +198,11 @@ def pose_optimization(
             chi2l = jnp.sum(rl * rl, -1) * lines.inv_sigma2
             wl = _huber_weight(chi2l, C.CHI2_LINE, robust) * lines.inv_sigma2
             wl = jnp.where(active_lines & lines.valid & okl, wl, 0.0)
-            H = H + jnp.einsum("nri,n,nrj->ij", Jl, wl, Jl)
-            b = b - jnp.einsum("nri,n,nr->i", Jl, wl, rl)
+            Jlf = Jl.reshape(-1, 6)
+            wlf = jnp.broadcast_to(wl[:, None], wl.shape + (2,)).reshape(-1)
+            Jlw = Jlf * wlf[:, None]
+            H = H + mm(Jlw.T, Jlf)
+            b = b - mm(Jlw.T, rl.reshape(-1, 1))[:, 0]
             rhol = jnp.where(
                 chi2l <= C.CHI2_LINE,
                 chi2l,
