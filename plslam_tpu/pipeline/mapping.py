@@ -5,14 +5,25 @@ reference polls a keyframe queue; here the host calls process() after each
 keyframe insertion (the StepOut.new_kf flag is the queue). Stages, like the
 reference's per-KF loop:
 
-  * MapPointCulling (~180): found-ratio < 0.25 or too few observations
-    shortly after creation -> invalidate (masked, no deletion).
+  * MapPointCulling (~180) + MapLineCulling: found-ratio < 0.25 or too few
+    observations shortly after creation -> invalidate (masked, no deletion).
   * (CreateNewMapPoints ~250 is mostly subsumed: RGB-D creates landmarks
     from depth at keyframe insertion, which the reference also does in
     CreateNewKeyFrame; epipolar triangulation for far points is a later
     phase.)
+  * SearchInNeighbors (~500): duplicate-landmark fusion. The reference
+    projects each neighbour's landmarks into the new keyframe (and back) and
+    Fuse()s matches; here ALL map points are projected into the new keyframe
+    in one dense masked matching pass, features that already hold a
+    different landmark trigger a Replace (the landmark with more
+    observations wins, references rewritten everywhere via one gather),
+    features without a landmark get bound.
   * LocalBundleAdjustment (src/Optimizer.cc ~450) — solvers/local_ba.py.
-  * KeyFrameCulling (~650) — later phase (needs covisibility bookkeeping).
+  * KeyFrameCulling (~650): a covisible keyframe whose landmarks are >= 90%
+    seen by >= 3 other keyframes is invalidated.
+
+Observation counts (pt_nobs) are re-derived from the observation incidence
+matrix after fusion/culling, so the bookkeeping cannot drift.
 """
 
 from __future__ import annotations
@@ -23,22 +34,25 @@ import jax
 import jax.numpy as jnp
 
 from plslam_tpu import constants as C
-from plslam_tpu.slammap.state import MapState
+from plslam_tpu.matching import points as match_ops
+from plslam_tpu.ops import brief
+from plslam_tpu.slammap.state import MapState, covisibility, observation_matrix
 
 
 class LocalMapper:
-    def __init__(self, tracker, enable_ba: bool = True):
+    def __init__(self, tracker, enable_ba: bool = True, enable_fuse: bool = True,
+                 enable_kf_culling: bool = True):
         self.tracker = tracker
         self.enable_ba = enable_ba
+        self.enable_fuse = enable_fuse
+        self.enable_kf_culling = enable_kf_culling
         self._ba = None
         if enable_ba:
-            try:
-                from plslam_tpu.solvers.local_ba import LocalBA
+            from plslam_tpu.solvers.local_ba import LocalBA
 
-                self._ba = LocalBA(tracker)
-            except ImportError:  # BA module lands in a later phase
-                self._ba = None
+            self._ba = LocalBA(tracker)
 
+    # ------------------------------------------------------------------- cull
     @functools.cached_property
     def _cull(self):
         return jax.jit(self._cull_impl)
@@ -68,8 +82,102 @@ class LocalMapper:
             pt_valid=m.pt_valid & ~bad, ln_valid=m.ln_valid & ~ln_bad
         )
 
+    # ------------------------------------------------------------------- fuse
+    @functools.cached_property
+    def _fuse(self):
+        return jax.jit(self._fuse_impl)
+
+    def _fuse_impl(self, m: MapState, k) -> MapState:
+        """SearchInNeighbors / ORBmatcher::Fuse (~1150) on the new KF."""
+        tr = self.tracker
+        uv_p, oct_p, vis = tr._project_points(m, m.kf_pose[k])
+        kp_pm1 = brief.unpack_bits_pm1(m.kf_desc[k])
+        all_pm1 = brief.unpack_bits_pm1(m.pt_desc)
+        # exclude landmarks already bound to this KF's features
+        row_lm = m.kf_lm_idx[k]
+        bound = jnp.zeros(tr.max_pts, bool).at[
+            jnp.where(row_lm >= 0, row_lm, tr.max_pts)
+        ].set(True, mode="drop")
+        match_kp, _ = match_ops.search_by_projection(
+            m.kf_uv[k][:, :2], m.kf_octave[k], kp_pm1, m.kf_feat_valid[k],
+            uv_p, oct_p, all_pm1, vis & ~bound,
+            radius=3.0, th_dist=C.TH_LOW,
+        )
+        # invert: candidate landmark per feature slot
+        src = jnp.where(match_kp >= 0, match_kp, tr.max_feat)
+        cand_of_kp = jnp.full(tr.max_feat, -1, jnp.int32).at[src].set(
+            jnp.where(match_kp >= 0, jnp.arange(tr.max_pts, dtype=jnp.int32), -1),
+            mode="drop",
+        )
+        cur = row_lm
+        has_cand = cand_of_kp >= 0
+        # case 1: feature had no landmark -> bind the matched one
+        bind = has_cand & (cur < 0)
+        new_row = jnp.where(bind, cand_of_kp, cur)
+        # case 2: feature already has a different landmark -> Replace():
+        # the landmark with more observations wins, the loser's references
+        # are rewritten everywhere and it is invalidated
+        dup = has_cand & (cur >= 0) & (cand_of_kp != cur)
+        a = jnp.clip(cur, 0)
+        b = jnp.clip(cand_of_kp, 0)
+        a_wins = m.pt_nobs[a] >= m.pt_nobs[b]
+        winner = jnp.where(a_wins, a, b)
+        loser = jnp.where(a_wins, b, a)
+        rep = jnp.arange(tr.max_pts, dtype=jnp.int32).at[
+            jnp.where(dup, loser, tr.max_pts)
+        ].set(jnp.where(dup, winner, -1), mode="drop")
+        kf_lm = m.kf_lm_idx.at[k].set(new_row)
+        # rewrite references through the replacement map (identity elsewhere)
+        kf_lm = jnp.where(kf_lm >= 0, rep[jnp.clip(kf_lm, 0)], -1)
+        pt_valid = m.pt_valid.at[jnp.where(dup, loser, tr.max_pts)].set(
+            False, mode="drop"
+        )
+        m = m._replace(kf_lm_idx=kf_lm, pt_valid=pt_valid)
+        # re-derive observation counts from the incidence matrix (stereo
+        # observations count double; all RGB-D KF features are stereo-backed)
+        obs = observation_matrix(m)
+        m = m._replace(pt_nobs=2 * jnp.sum(obs, 0).astype(jnp.int32))
+        return m
+
+    # ------------------------------------------------------------ kf culling
+    @functools.cached_property
+    def _kf_cull(self):
+        return jax.jit(self._kf_cull_impl)
+
+    def _kf_cull_impl(self, m: MapState, k) -> MapState:
+        """KeyFrameCulling (~650): covisible KFs of k whose landmarks are
+        >= 90% observed by >= 3 other keyframes become bad."""
+        tr = self.tracker
+        obs = observation_matrix(m)  # [K, P]
+        pt_cnt = jnp.sum(obs, 0).astype(jnp.int32)  # KFs per point
+        # per KF: fraction of its landmarks seen by >= KF_CULL_MIN_OBS others
+        redundant_pt = (pt_cnt[None, :] >= C.KF_CULL_MIN_OBS + 1) & obs
+        n_lm = jnp.sum(obs, 1)
+        frac = jnp.sum(redundant_pt, 1) / jnp.clip(n_lm, 1)
+        covis = covisibility(m, obs)
+        in_window = covis[k] >= C.COVIS_TH
+        cullable = (
+            m.kf_valid
+            & in_window
+            & (jnp.arange(tr.max_kf) != 0)  # never the origin
+            & (jnp.arange(tr.max_kf) != k)  # never the fresh KF
+            & (n_lm > 0)
+            & (frac > C.KF_CULL_REDUNDANCY)
+        )
+        # detach: invalidate KF and its feature rows
+        kf_valid = m.kf_valid & ~cullable
+        kf_feat_valid = m.kf_feat_valid & kf_valid[:, None]
+        m = m._replace(kf_valid=kf_valid, kf_feat_valid=kf_feat_valid)
+        obs = observation_matrix(m)
+        return m._replace(pt_nobs=2 * jnp.sum(obs, 0).astype(jnp.int32))
+
     def process(self, m: MapState, kf_id: int) -> MapState:
-        m = self._cull(m, jnp.int32(kf_id))
+        k = jnp.int32(kf_id)
+        m = self._cull(m, k)
+        if self.enable_fuse:
+            m = self._fuse(m, k)
         if self._ba is not None:
-            m = self._ba.run(m, jnp.int32(kf_id))
+            m = self._ba.run(m, k)
+        if self.enable_kf_culling:
+            m = self._kf_cull(m, k)
         return m
