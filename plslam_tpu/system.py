@@ -147,6 +147,20 @@ class System:
             self._jax.block_until_ready(self.state)
 
     # ------------------------------------------------------------------- save
+    def save_map(self, path: str | Path):
+        """Snapshot the full SLAM state (map + tracking carry) to npz —
+        a capability the reference lacks entirely (SURVEY.md §6)."""
+        from plslam_tpu.io.snapshot import save_state
+
+        save_state(path, self.state)
+
+    def load_map(self, path: str | Path):
+        """Restore a snapshot; combine with activate_localization_mode()
+        for tracking-only replay against a prebuilt map."""
+        from plslam_tpu.io.snapshot import load_state
+
+        self.state = load_state(path, self.state)
+
     def save_trajectory_tum(self, path: str | Path):
         traj_io.save_trajectory_tum(
             path,

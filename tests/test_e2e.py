@@ -120,3 +120,33 @@ class TestEvaluator:
         moved = [(t, off @ T) for t, T in gt]
         rmse, _ = ate_rmse(moved, gt)
         assert rmse < 1e-6
+
+
+class TestSnapshot:
+    def test_save_load_roundtrip(self, small_system_run, tmp_path):
+        """Map checkpoint/resume (capability the reference lacks)."""
+        import jax
+
+        slam, _ = small_system_run
+        f = tmp_path / "map.npz"
+        slam.save_map(f)
+        before = jax.tree.map(np.asarray, slam.state)
+        slam.load_map(f)
+        after = jax.tree.map(np.asarray, slam.state)
+        for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_localization_on_loaded_map(self, small_system_run, small_seq, tmp_path):
+        slam, _ = small_system_run
+        f = tmp_path / "map.npz"
+        slam.save_map(f)
+        from plslam_tpu.system import System
+
+        slam2 = System(small_seq.settings, max_pts=4096, max_kf=32)
+        # warm the pipeline shape by one dummy frame on a fresh instance
+        slam2.load_map(f)
+        slam2.activate_localization_mode()
+        g, d, t = small_seq.frame(small_seq.n_frames - 1)
+        out = slam2.track_rgbd(g, d, t + 0.05)
+        assert out is not None
+        assert slam2.get_tracking_state() == "OK"
