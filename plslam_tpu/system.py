@@ -179,6 +179,19 @@ class System:
             path, stamps, np.asarray(m.kf_pose), np.asarray(m.kf_valid)
         )
 
+    def dump_debug_images(self, out_dir: str | Path, gray=None):
+        """Headless Viewer/FrameDrawer/MapDrawer equivalent (io/viewer.py):
+        writes frame.png (if gray given) and map.png."""
+        import cv2
+
+        from plslam_tpu.io import viewer
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        if gray is not None:
+            cv2.imwrite(str(out / "frame.png"), viewer.draw_frame(np.asarray(gray), self.state))
+        cv2.imwrite(str(out / "map.png"), viewer.draw_map(self.state))
+
     # ------------------------------------------------------------------ state
     @property
     def n_keyframes(self) -> int:
