@@ -96,9 +96,16 @@ class ORBExtractor:
             k = self.per_level[l]
             if k == 0:
                 continue
-            score = fast.fast_with_fallback(
-                img, self.ini_th, self.min_th, C.FAST_CELL, C.EDGE_THRESHOLD
-            )
+            if jax.default_backend() == "tpu":
+                from plslam_tpu.ops.fast_pallas import fast_with_fallback_pallas
+
+                score = fast_with_fallback_pallas(
+                    img, self.ini_th, self.min_th, C.FAST_CELL, C.EDGE_THRESHOLD
+                )
+            else:  # CPU/test path (also the oracle for the Pallas kernel)
+                score = fast.fast_with_fallback(
+                    img, self.ini_th, self.min_th, C.FAST_CELL, C.EDGE_THRESHOLD
+                )
             yx, resp, valid = select.select_topk_grid(score, k, cell=16)
             sub = select.subpixel_refine(score, yx)
             raw_patch = patches.gather_patches(img, yx, brief.PATCH_D)
