@@ -131,6 +131,7 @@ def match_descriptors(
     nn_ratio: float | None = C.NN_RATIO_DEFAULT,
     angle_a=None,
     angle_b=None,
+    pair_mask=None,
 ):
     """Unconstrained brute-force matching with ratio test + mutual check
     (ORBmatcher::SearchByBoW semantics without the vocab-node gating — the
@@ -140,6 +141,8 @@ def match_descriptors(
     Returns match_b i32[A] (index into b, -1 unmatched) and dist f32[A]."""
     D = hamming_matrix(pm1_a, pm1_b)
     pair_ok = valid_a[:, None] & valid_b[None, :]
+    if pair_mask is not None:  # e.g. epipolar gating (SearchForTriangulation)
+        pair_ok &= pair_mask
     Dm = jnp.where(pair_ok, D, BIG)
     best, second, best_b = best_two(Dm, axis=1)  # per a-row
     ok = best < th_dist

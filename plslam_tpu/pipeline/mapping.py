@@ -7,10 +7,10 @@ reference's per-KF loop:
 
   * MapPointCulling (~180) + MapLineCulling: found-ratio < 0.25 or too few
     observations shortly after creation -> invalidate (masked, no deletion).
-  * (CreateNewMapPoints ~250 is mostly subsumed: RGB-D creates landmarks
-    from depth at keyframe insertion, which the reference also does in
-    CreateNewKeyFrame; epipolar triangulation for far points is a later
-    phase.)
+  * CreateNewMapPoints (~250): close landmarks come from depth at keyframe
+    insertion (like the reference's CreateNewKeyFrame); DEPTHLESS features
+    (beyond sensor range) are epipolarly matched against the best covisible
+    keyframe and triangulated (solvers/triangulate.py).
   * SearchInNeighbors (~500): duplicate-landmark fusion. The reference
     projects each neighbour's landmarks into the new keyframe (and back) and
     Fuse()s matches; here ALL map points are projected into the new keyframe
@@ -139,6 +139,78 @@ class LocalMapper:
         m = m._replace(pt_nobs=2 * jnp.sum(obs, 0).astype(jnp.int32))
         return m
 
+    # ------------------------------------------------------- triangulation
+    @functools.cached_property
+    def _triangulate(self):
+        return jax.jit(self._triangulate_impl)
+
+    def _triangulate_impl(self, m: MapState, k) -> MapState:
+        """CreateNewMapPoints (~250): depthless (beyond-range) features of
+        the new KF matched epipolarly against its best covisible KF and
+        triangulated into far landmarks."""
+        from plslam_tpu.matching.points import match_descriptors
+        from plslam_tpu.solvers import triangulate as tri
+
+        tr = self.tracker
+        cov = covisibility(m)
+        j = jnp.argmax(jnp.where(m.kf_valid, cov[k], -1))
+        usable = (cov[k, j] >= C.COVIS_TH) & (j != k)
+
+        def row(kf):
+            uv = m.kf_uv[kf]
+            free = m.kf_feat_valid[kf] & (m.kf_lm_idx[kf] < 0) & (uv[:, 2] < 0)
+            return uv[:, :2], free
+
+        uv1, free1 = row(k)
+        uv2, free2 = row(j)
+        F21 = tri.fundamental_from_poses(m.kf_pose[k], m.kf_pose[j], tr.K)
+        epi_ok = tri.epipolar_distance(uv1, uv2, F21) < 3.84  # ~2px sigma
+        mb, _ = match_descriptors(
+            brief.unpack_bits_pm1(m.kf_desc[k]), free1,
+            brief.unpack_bits_pm1(m.kf_desc[j]), free2,
+            th_dist=C.TH_LOW, nn_ratio=0.6, pair_mask=epi_ok,
+        )
+        matched = (mb >= 0) & usable
+        uv2m = uv2[jnp.clip(mb, 0)]
+        pw, par = tri.triangulate_midpoint(m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m)
+        inv_s2 = jnp.asarray(tr.inv_sigma2)
+        ok = matched & tri.triangulation_checks(
+            m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m, pw, par,
+            inv_s2[jnp.clip(m.kf_octave[k], 0, tr.n_levels - 1)],
+            inv_s2[jnp.clip(m.kf_octave[j][jnp.clip(mb, 0)], 0, tr.n_levels - 1)],
+        )
+
+        pos_in_new = jnp.cumsum(ok.astype(jnp.int32)) - 1
+        new_id = m.n_pt + pos_in_new
+        ok &= new_id < tr.max_pts
+        sid = jnp.where(ok, new_id, tr.max_pts)
+        cam_c = -jnp.einsum("ji,j->i", m.kf_pose[k][:3, :3], m.kf_pose[k][:3, 3])
+        dvec = pw - cam_c
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        m = m._replace(
+            pt_pos=m.pt_pos.at[sid].set(pw, mode="drop"),
+            pt_desc=m.pt_desc.at[sid].set(m.kf_desc[k], mode="drop"),
+            pt_normal=m.pt_normal.at[sid].set(
+                dvec / jnp.clip(dist, 1e-6)[:, None], mode="drop"
+            ),
+            pt_dist=m.pt_dist.at[sid].set(
+                jnp.stack([dist * 0.5, dist * 2.0], -1), mode="drop"
+            ),
+            pt_valid=m.pt_valid.at[sid].set(True, mode="drop"),
+            pt_ref_kf=m.pt_ref_kf.at[sid].set(k, mode="drop"),
+            pt_first_kf=m.pt_first_kf.at[sid].set(k, mode="drop"),
+            pt_nobs=m.pt_nobs.at[sid].set(2, mode="drop"),
+            n_pt=m.n_pt + jnp.sum(ok),
+        )
+        # bind observations in both keyframe rows
+        row_k = jnp.where(ok, new_id, m.kf_lm_idx[k])
+        m = m._replace(kf_lm_idx=m.kf_lm_idx.at[k].set(row_k))
+        row_j = m.kf_lm_idx[j]
+        tgt = jnp.where(ok, mb, tr.max_feat)
+        row_j = row_j.at[tgt].set(jnp.where(ok, new_id, -1), mode="drop")
+        m = m._replace(kf_lm_idx=m.kf_lm_idx.at[j].set(row_j))
+        return m
+
     # ------------------------------------------------------------ kf culling
     @functools.cached_property
     def _kf_cull(self):
@@ -174,6 +246,7 @@ class LocalMapper:
     def process(self, m: MapState, kf_id: int) -> MapState:
         k = jnp.int32(kf_id)
         m = self._cull(m, k)
+        m = self._triangulate(m, k)
         if self.enable_fuse:
             m = self._fuse(m, k)
         if self._ba is not None:
