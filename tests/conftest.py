@@ -25,6 +25,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets the SAME deterministic stream
+    # regardless of suite order (a shared session stream made tests
+    # order-dependent and flaky near tolerance boundaries)
     return np.random.default_rng(42)
