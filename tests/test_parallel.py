@@ -1,0 +1,89 @@
+"""Multi-device mesh tests: BatchedTracker over the 8-virtual-CPU-device mesh.
+
+Covers SURVEY.md §3.3 "Distributed comm / mesh sharding" (the reference has no
+distribution — pthreads over shared memory, src/System.cc thread spawn ~95-110
+— so this is the TPU-native scale-out story: seq=data-parallel over
+sequences, lm=model-parallel over the landmark axis). conftest.py provisions
+8 virtual CPU devices; these tests must never be skipped on a CPU runner.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plslam_tpu.features.frame import FrameBuilder
+from plslam_tpu.io.synthetic import SyntheticSequence
+from plslam_tpu.parallel.batch import BatchedTracker, make_mesh
+from plslam_tpu.pipeline.tracking import Tracker
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    seq = SyntheticSequence(n_frames=3, height=192, width=256)
+    settings = dataclasses.replace(seq.settings, n_features=120)
+    builder = FrameBuilder(settings, capacity=128, line_capacity=16)
+    tracker = Tracker(
+        settings, max_kf=8, max_pts=512, max_feat=128, max_lines=16, max_maplines=64
+    )
+    frames = [builder(jnp.asarray(g), jnp.asarray(d)) for g, d, _ in
+              (seq.frame(i) for i in range(3))]
+    return tracker, frames
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["seq"] * mesh.shape["lm"] == 8
+    assert mesh.shape["seq"] >= 2
+
+
+def _broadcast(frame, batch, mesh=None):
+    frames = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), frame
+    )
+    if mesh is not None:
+        frames = jax.device_put(
+            frames,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("seq")),
+        )
+    return frames
+
+
+def test_batched_tracker_sharded_two_steps(tiny_setup):
+    """Full batched tracking step jitted over the (seq, lm) mesh: init +
+    2 frames, all sequences stay tracked, map state stays sharded."""
+    tracker, frames = tiny_setup
+    mesh = make_mesh(8)
+    bt = BatchedTracker(tracker, batch=mesh.shape["seq"] * 2, mesh=mesh)
+    state = bt.init_state()
+    for i in range(2):
+        state, out = bt.step(state, _broadcast(frames[i], bt.batch, mesh))
+    jax.block_until_ready(out)
+    assert bool(np.asarray(out.tracked).all())
+    # landmark (pt_) arrays really live sharded over the mesh
+    sh = state.m.pt_pos.sharding
+    assert isinstance(sh, jax.sharding.NamedSharding)
+    assert sh.spec == jax.sharding.PartitionSpec("seq", "lm")
+    assert len(state.m.pt_pos.devices()) == 8
+
+
+def test_batched_matches_unbatched(tiny_setup):
+    """Sharded batched run computes the same poses as the plain single-seq
+    tracker (broadcast inputs -> every row identical to the unbatched run)."""
+    tracker, frames = tiny_setup
+    mesh = make_mesh(8)
+    bt = BatchedTracker(tracker, batch=mesh.shape["seq"], mesh=mesh)
+    bstate = bt.init_state()
+    sstate = tracker.init_state()
+    step = jax.jit(tracker._step)
+    for i in range(2):
+        bstate, bout = bt.step(bstate, _broadcast(frames[i], bt.batch, mesh))
+        sstate, sout = step(sstate, frames[i])
+    bpose = np.asarray(bout.Tcw)
+    spose = np.asarray(sout.Tcw)
+    np.testing.assert_allclose(bpose[0], spose, rtol=0, atol=1e-4)
+    # all batch rows identical (same input)
+    np.testing.assert_allclose(bpose, np.broadcast_to(spose, bpose.shape),
+                               rtol=0, atol=1e-4)
