@@ -51,6 +51,9 @@ class MapState(NamedTuple):
     pt_nobs: jnp.ndarray  # i32[P]
     pt_visible: jnp.ndarray  # f32[P] IncreaseVisible counter
     pt_found: jnp.ndarray  # f32[P] IncreaseFound counter
+    pt_replaced: jnp.ndarray  # i32[P] MapPoint::Replace forwarding (-1 none):
+    # losers of a fuse point at their winner so stale references (e.g. the
+    # last frame's lm_idx) can be rewritten — CheckReplacedInLastFrame
     # --- map lines ---
     ln_sw: jnp.ndarray  # f32[Q, 3] world start point
     ln_ew: jnp.ndarray  # f32[Q, 3] world end point
@@ -99,6 +102,7 @@ def empty_map(
         pt_nobs=jnp.zeros(P, i32),
         pt_visible=jnp.ones(P, f32),
         pt_found=jnp.ones(P, f32),
+        pt_replaced=jnp.full(P, -1, i32),
         ln_sw=jnp.zeros((Q, 3), f32),
         ln_ew=jnp.zeros((Q, 3), f32),
         ln_desc=jnp.zeros((Q, 32), jnp.uint8),
@@ -128,6 +132,34 @@ def observation_matrix(m: MapState):
     lm_safe = jnp.where(ok, lm, 0)
     obs = jnp.zeros((K, P), bool)
     obs = obs.at[kf_ids.reshape(-1), lm_safe.reshape(-1)].max(ok.reshape(-1))
+    return obs
+
+
+def weighted_point_nobs(m: MapState):
+    """i32[P]: reference nobs semantics (MapPoint::AddObservation
+    src/MapPoint.cc ~80) — stereo observations (u_r >= 0) count 2, mono
+    (depthless, e.g. epipolar-triangulated far points) count 1."""
+    P = m.pt_valid.shape[0]
+    lm = m.kf_lm_idx
+    ok = (lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    w = jnp.where(m.kf_uv[..., 2] >= 0, 2, 1)
+    sid = jnp.where(ok, lm, P)
+    return jnp.zeros(P + 1, jnp.int32).at[sid.reshape(-1)].add(
+        jnp.where(ok, w, 0).reshape(-1)
+    )[:P]
+
+
+def line_observation_matrix(m: MapState):
+    """bool[K, Q] incidence: keyframe k observes map line q (kf_ln_idx
+    analogue of observation_matrix)."""
+    K, L = m.kf_ln_idx.shape
+    Q = m.ln_valid.shape[0]
+    kf_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, L))
+    ln = m.kf_ln_idx
+    ok = (ln >= 0) & m.kf_ln_valid & m.kf_valid[:, None]
+    ln_safe = jnp.where(ok, ln, 0)
+    obs = jnp.zeros((K, Q), bool)
+    obs = obs.at[kf_ids.reshape(-1), ln_safe.reshape(-1)].max(ok.reshape(-1))
     return obs
 
 

@@ -6,10 +6,16 @@ BlockSolver_6_3 + LinearSolverEigen + OptimizationAlgorithmLevenberg):
   * Window: the new keyframe + its covisible keyframes (vertices);
     keyframes that see local landmarks but are not covisible enter as FIXED
     vertices; keyframe 0 is always fixed (gauge).
-  * Landmarks: every map point observed by a window keyframe.
+  * Landmarks: every map point observed by a window keyframe, AND every map
+    LINE observed by one (the fork's EdgeLineProjectXYZ, SURVEY.md §3.2 g2o
+    row). The line edge's 2-dof residual (l·pi(T sw), l·pi(T ew)) decouples
+    into two independent scalar edges — r1 depends only on the start point,
+    r2 only on the end point — so each endpoint enters the Schur system as
+    an ordinary 3-dof landmark block. No 6x6 line blocks needed; the
+    landmark axis is just [Pl points | Ql starts | Ql ends].
   * Edges: all observations of local landmarks by window+fixed keyframes —
-    enumerated directly from the per-KF landmark-index arrays (kf_lm_idx),
-    no edge lists.
+    enumerated directly from the per-KF landmark-index arrays (kf_lm_idx /
+    kf_ln_idx), no edge lists.
   * Solve: explicit Schur complement. H_pp is block-diagonal (batched 3x3
     inverses on the VPU), the reduced camera system S is a dense
     (6W x 6W) matrix solved with Cholesky-sized dense algebra on the MXU
@@ -18,8 +24,8 @@ BlockSolver_6_3 + LinearSolverEigen + OptimizationAlgorithmLevenberg):
     outlier pass in between (outlier observations are erased from the map,
     like the reference does under the map mutex).
 
-Everything is fixed-capacity: W window cams, X fixed cams, Pl local points —
-masks everywhere, one XLA program, no host round trips.
+Everything is fixed-capacity: W window cams, X fixed cams, Pl local points,
+Ql local lines — masks everywhere, one XLA program, no host round trips.
 """
 
 from __future__ import annotations
@@ -32,10 +38,40 @@ import jax.numpy as jnp
 
 from plslam_tpu import constants as C
 from plslam_tpu.geometry import se3
-from plslam_tpu.slammap.state import MapState, observation_matrix
+from plslam_tpu.slammap.state import (
+    MapState,
+    line_observation_matrix,
+    observation_matrix,
+)
 from plslam_tpu.utils.precision import mm
 
 _TAU = 1e-5
+
+
+def _rot_cols(A, P):
+    """A @ hat(P), elementwise (batched tiny matmuls are catastrophic on
+    TPU — see solvers/pose.py _rot_cols)."""
+    Xc, Yc, Zc = P[..., 0], P[..., 1], P[..., 2]
+    return jnp.stack(
+        [
+            A[..., 1] * Zc - A[..., 2] * Yc,
+            -A[..., 0] * Zc + A[..., 2] * Xc,
+            A[..., 0] * Yc - A[..., 1] * Xc,
+        ],
+        -1,
+    )
+
+
+def _times_R(A, Rp):
+    """A @ R_pose, elementwise (Rp broadcastable [.., 3, 3])."""
+    return jnp.stack(
+        [
+            A[..., 0] * Rp[..., 0, 0] + A[..., 1] * Rp[..., 1, 0] + A[..., 2] * Rp[..., 2, 0],
+            A[..., 0] * Rp[..., 0, 1] + A[..., 1] * Rp[..., 1, 1] + A[..., 2] * Rp[..., 2, 1],
+            A[..., 0] * Rp[..., 0, 2] + A[..., 1] * Rp[..., 1, 2] + A[..., 2] * Rp[..., 2, 2],
+        ],
+        -1,
+    )
 
 
 class LocalBA:
@@ -45,13 +81,15 @@ class LocalBA:
         window: int = 16,
         fixed: int = 16,
         local_pts: int = 4096,
+        local_lines: int = 256,
         iters1: int = C.LOCAL_BA_ITERS_1,
         iters2: int = C.LOCAL_BA_ITERS_2,
     ):
         self.tracker = tracker
-        self.W = window
-        self.X = fixed
+        self.W = min(window, tracker.max_kf)
+        self.X = min(fixed, tracker.max_kf)
         self.Pl = min(local_pts, tracker.max_pts)
+        self.Ql = min(local_lines, tracker.max_maplines)
         self.iters1, self.iters2 = iters1, iters2
 
     @functools.cached_property
@@ -99,7 +137,17 @@ class LocalBA:
         fix_valid = jnp.take(fscore, ftop) > 0
         fix_ids = jnp.where(fix_valid, ftop, 0)
 
-        return win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid, lm_slot
+        # local map LINES: observed by any window KF (kf_ln_idx incidence)
+        ln_obs = line_observation_matrix(m)  # [K, Q]
+        ln_local = jnp.any(ln_obs & in_window[:, None], axis=0) & m.ln_valid
+        _, ln_ids = jax.lax.top_k(ln_local.astype(jnp.int32), self.Ql)
+        ln_sel_valid = jnp.take(ln_local, ln_ids)
+        ln_slot = jnp.full(tr.max_maplines, -1, jnp.int32).at[
+            jnp.where(ln_sel_valid, ln_ids, tr.max_maplines)
+        ].set(jnp.arange(self.Ql, dtype=jnp.int32), mode="drop")
+
+        return (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid,
+                lm_slot, ln_ids, ln_sel_valid, ln_slot)
 
     # ------------------------------------------------------------------- core
     def _edge_terms(self, poses, pos_local, uv, oct_, lm_slot_row, feat_ok, is_stereo, robust):
@@ -192,10 +240,74 @@ class LocalBA:
         )
         return r, Jc, Jp, w, chi2, ok, cost
 
+    def _line_edge_terms(self, poses, sw, ew, lobs, ln_slot_row, ln_feat_ok, robust):
+        """Scalar endpoint edges for all [R, L] line observations
+        (EdgeLineProjectXYZ, SURVEY.md §9 line residual: r_e = l·pi(T·X_e)).
+
+        lobs f32[R,L,3] normalized (a,b,c); sw/ew f32[Ql,3] endpoint
+        positions. Returns ((r, Jc, Jp) per endpoint), w, chi2 (2-dof pair),
+        ok, cost."""
+        tr = self.tracker
+        K = tr.K
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        slot = jnp.clip(ln_slot_row, 0)
+        Rp = poses[:, None, :3, :3]
+        tp = poses[:, None, :3, 3]
+        a, b = lobs[..., 0], lobs[..., 1]
+        c = lobs[..., 2]
+
+        def endpoint(Xw):
+            X = Xw[slot]  # [R, L, 3]
+            xx, yy, zz = X[..., 0], X[..., 1], X[..., 2]
+            P = jnp.stack(
+                [
+                    Rp[..., 0, 0] * xx + Rp[..., 0, 1] * yy + Rp[..., 0, 2] * zz + tp[..., 0],
+                    Rp[..., 1, 0] * xx + Rp[..., 1, 1] * yy + Rp[..., 1, 2] * zz + tp[..., 1],
+                    Rp[..., 2, 0] * xx + Rp[..., 2, 1] * yy + Rp[..., 2, 2] * zz + tp[..., 2],
+                ],
+                -1,
+            )
+            Z = P[..., 2]
+            okz = Z > 1e-3
+            iz = 1.0 / jnp.where(okz, Z, 1.0)
+            iz2 = iz * iz
+            u = fx * P[..., 0] * iz + cx
+            v = fy * P[..., 1] * iz + cy
+            r = a * u + b * v + c  # point-to-line distance (l is normalized)
+            zero = jnp.zeros_like(Z)
+            du = jnp.stack([fx * iz, zero, -fx * P[..., 0] * iz2], -1)
+            dv = jnp.stack([zero, fy * iz, -fy * P[..., 1] * iz2], -1)
+            g = a[..., None] * du + b[..., None] * dv  # dr/dP_cam [R,L,3]
+            # dr/d(dt) = g ; dr/d(dtheta) = -g @ hat(P)  (left-mult update)
+            Jc = jnp.concatenate([g, -_rot_cols(g, P)], -1)  # [R,L,6]
+            Jp = _times_R(g, Rp)  # [R,L,3]
+            return r, Jc, Jp, okz
+
+        r1, Jc1, Jp1, okz1 = endpoint(sw)
+        r2, Jc2, Jp2, okz2 = endpoint(ew)
+        ok = ln_feat_ok & okz1 & okz2
+        chi2 = r1 * r1 + r2 * r2  # line info = identity (2-dof)
+        delta2 = jnp.float32(C.CHI2_MONO)
+        hub = jnp.where(
+            chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.clip(chi2, 1e-12))
+        )
+        hub = jnp.where(robust, hub, 1.0)
+        w = jnp.where(ok, hub, 0.0)
+        rho = jnp.where(
+            chi2 <= delta2, chi2, 2.0 * jnp.sqrt(delta2 * jnp.clip(chi2, 0)) - delta2
+        )
+        rho = jnp.where(robust, rho, chi2)
+        cost = jnp.sum(jnp.where(ok, rho, 0.0)) + 1e7 * jnp.sum(
+            ln_feat_ok & ~(okz1 & okz2)
+        )
+        return (r1, Jc1, Jp1), (r2, Jc2, Jp2), w, chi2, ok, cost
+
     def _run(self, m: MapState, k):
         tr = self.tracker
-        (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid, lm_slot) = self._select(m, k)
-        W, X, Pl = self.W, self.X, self.Pl
+        (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid,
+         lm_slot, ln_ids, ln_sel_valid, ln_slot) = self._select(m, k)
+        W, X, Pl, Ql = self.W, self.X, self.Pl, self.Ql
+        Pt = Pl + 2 * Ql  # landmark axis: [points | line starts | line ends]
 
         rows_ids = jnp.concatenate([win_ids, fix_ids])  # [W+X]
         rows_mask = jnp.concatenate([win_mask, fix_valid])
@@ -213,12 +325,22 @@ class LocalBA:
         lm_slot_row = jnp.where(feat_ok, lm_slot[jnp.clip(lm_idx_rows, 0)], -1)
         is_stereo = uv[..., 2] >= 0
 
+        # line observation rows (EdgeLineProjectXYZ edges)
+        ln_obs_rows = m.kf_ln_obs[rows_ids]  # [R, L, 3]
+        ln_idx_rows = m.kf_ln_idx[rows_ids]
+        ln_feat_ok = (
+            m.kf_ln_valid[rows_ids] & rows_mask[:, None] & (ln_idx_rows >= 0)
+        )
+        ln_slot_row = jnp.where(ln_feat_ok, ln_slot[jnp.clip(ln_idx_rows, 0)], -1)
+
         poses0 = m.kf_pose[rows_ids]
-        pos0 = m.pt_pos[local_ids]  # [Pl, 3]
+        pos_all0 = jnp.concatenate(
+            [m.pt_pos[local_ids], m.ln_sw[ln_ids], m.ln_ew[ln_ids]], 0
+        )  # [Pt, 3]
+        valid_all = jnp.concatenate([local_valid, ln_sel_valid, ln_sel_valid])
 
-        row_w = jnp.arange(W + X) < W  # window rows get pose deltas
-
-        def build(poses, pos_local, edge_active, robust):
+        def build(poses, pos_all, edge_active, ln_edge_active, robust):
+            pos_local = pos_all[:Pl]
             r, Jc, Jp, w, chi2, ok, cost = self._edge_terms(
                 poses, pos_local, uv, oct_, lm_slot_row, feat_ok & edge_active, is_stereo, robust
             )
@@ -230,7 +352,7 @@ class LocalBA:
             Hcc = jnp.einsum("rfai,rf,rfaj->rij", Jc[:W], w[:W], Jc[:W])  # [W,6,6]
             bc = -jnp.einsum("rfai,rf,rfa->ri", Jc[:W], w[:W], r[:W])  # [W,6]
             slot = jnp.clip(lm_slot_row, 0)
-            drop = jnp.where(lm_slot_row >= 0, slot, Pl)
+            drop = jnp.where(lm_slot_row >= 0, slot, Pt)
             # per-edge outer products as BROADCAST multiplies (einsum here
             # lowers to thousands of tiny batched matmuls on TPU)
             Jpf = Jp.reshape(-1, 3, 3)
@@ -239,22 +361,51 @@ class LocalBA:
             hpp_e = jnp.sum(
                 (wf[:, None, None, None] * Jpf[:, :, :, None]) * Jpf[:, :, None, :], axis=1
             )  # [E, 3, 3]
-            Hpp = jnp.zeros((Pl + 1, 3, 3)).at[drop.reshape(-1)].add(hpp_e)[:Pl]
+            Hpp = jnp.zeros((Pt + 1, 3, 3)).at[drop.reshape(-1)].add(hpp_e)
             bp_e = -jnp.sum(wf[:, None, None] * Jpf * rf[:, :, None], axis=1)  # [E, 3]
-            bp = jnp.zeros((Pl + 1, 3)).at[drop.reshape(-1)].add(bp_e)[:Pl]
-            # Hcp: [W, Pl, 6, 3] scattered over landmark slots per window row
+            bp = jnp.zeros((Pt + 1, 3)).at[drop.reshape(-1)].add(bp_e)
+            # Hcp: [W, Pt, 6, 3] scattered over landmark slots per window row
             hcp_e = jnp.sum(
                 (w[:W][..., None, None, None] * Jc[:W][..., :, :, None])
                 * Jp[:W][..., :, None, :],
                 axis=2,
             )  # [W, F, 6, 3]
-            Hcp = jnp.zeros((W, Pl + 1, 6, 3)).at[
+            Hcp = jnp.zeros((W, Pt + 1, 6, 3)).at[
                 jnp.arange(W)[:, None], drop[:W]
-            ].add(hcp_e)[:, :Pl]
-            return Hcc, bc, Hpp, bp, Hcp, cost, chi2, ok
+            ].add(hcp_e)
 
-        def cost_only(poses, pos_local, edge_active, robust):
-            *_, cost, _, _ = build(poses, pos_local, edge_active, robust)
+            # --- line endpoint edges (two scalar edges per observation) ---
+            e1, e2, wl, chi2_ln, ok_ln, cost_ln = self._line_edge_terms(
+                poses, pos_all[Pl:Pl + Ql], pos_all[Pl + Ql:],
+                ln_obs_rows, ln_slot_row, ln_feat_ok & ln_edge_active, robust,
+            )
+            wl = jnp.where(ln_edge_active, wl, 0.0)
+            for off, (rl, Jcl, Jpl) in ((Pl, e1), (Pl + Ql, e2)):
+                Jcl = jnp.where(mov[:, None, None], Jcl, 0.0)
+                Hcc = Hcc + jnp.einsum(
+                    "rli,rl,rlj->rij", Jcl[:W], wl[:W], Jcl[:W]
+                )
+                bc = bc - jnp.einsum("rli,rl,rl->ri", Jcl[:W], wl[:W], rl[:W])
+                dropl = jnp.where(ln_slot_row >= 0, off + ln_slot_row, Pt)
+                wlf = wl.reshape(-1)
+                Jplf = Jpl.reshape(-1, 3)
+                rlf = rl.reshape(-1)
+                hpp_l = wlf[:, None, None] * Jplf[:, :, None] * Jplf[:, None, :]
+                Hpp = Hpp.at[dropl.reshape(-1)].add(hpp_l)
+                bp = bp.at[dropl.reshape(-1)].add(-wlf[:, None] * Jplf * rlf[:, None])
+                hcp_l = (
+                    wl[:W][..., None, None]
+                    * Jcl[:W][..., :, None]
+                    * Jpl[:W][..., None, :]
+                )  # [W, L, 6, 3]
+                Hcp = Hcp.at[jnp.arange(W)[:, None], dropl[:W]].add(hcp_l)
+
+            Hpp, bp, Hcp = Hpp[:Pt], bp[:Pt], Hcp[:, :Pt]
+            return (Hcc, bc, Hpp, bp, Hcp, cost + cost_ln,
+                    chi2, ok, chi2_ln, ok_ln)
+
+        def cost_only(poses, pos_all, edge_active, ln_edge_active, robust):
+            *_, cost, _, _, _, _ = build(poses, pos_all, edge_active, ln_edge_active, robust)
             return cost
 
         def solve(Hcc, bc, Hpp, bp, Hcp, lam):
@@ -281,8 +432,10 @@ class LocalBA:
             )
             return dc, dp
 
-        def lm_phase(poses, pos_local, edge_active, robust, iters):
-            Hcc, bc, Hpp, bp, Hcp, cost0, _, _ = build(poses, pos_local, edge_active, robust)
+        def lm_phase(poses, pos_all, edge_active, ln_edge_active, robust, iters):
+            Hcc, bc, Hpp, bp, Hcp, cost0, *_ = build(
+                poses, pos_all, edge_active, ln_edge_active, robust
+            )
             maxdiag = jnp.maximum(
                 jnp.max(jnp.abs(jnp.einsum("wii->wi", Hcc))),
                 jnp.max(jnp.abs(jnp.einsum("pii->pi", Hpp))),
@@ -290,50 +443,82 @@ class LocalBA:
             lam0 = _TAU * maxdiag
 
             def body(_, carry):
-                poses, pos_local, lam, nu, cost = carry
-                Hcc, bc, Hpp, bp, Hcp, _, _, _ = build(poses, pos_local, edge_active, robust)
+                poses, pos_all, lam, nu, cost = carry
+                Hcc, bc, Hpp, bp, Hcp, *_ = build(
+                    poses, pos_all, edge_active, ln_edge_active, robust
+                )
                 dc, dp = solve(Hcc, bc, Hpp, bp, Hcp, lam)
                 d_full = jnp.where(movable[:, None], dc, 0.0)
                 poses_new_w = se3.compose(se3.exp(d_full), poses[:W])
                 poses_new = jnp.concatenate([poses_new_w, poses[W:]], 0)
-                pos_new = pos_local + jnp.where(local_valid[:, None], dp, 0.0)
-                new_cost = cost_only(poses_new, pos_new, edge_active, robust)
+                pos_new = pos_all + jnp.where(valid_all[:, None], dp, 0.0)
+                new_cost = cost_only(poses_new, pos_new, edge_active, ln_edge_active, robust)
                 finite = jnp.isfinite(new_cost) & jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
                 accept = (new_cost < cost) & finite
                 poses = jnp.where(accept, poses_new, poses)
-                pos_local = jnp.where(accept, pos_new, pos_local)
+                pos_all = jnp.where(accept, pos_new, pos_all)
                 cost = jnp.where(accept, new_cost, cost)
                 lam = jnp.where(accept, lam / 3.0, lam * nu)
                 nu = jnp.where(accept, 2.0, nu * 2.0)
-                return poses, pos_local, lam, nu, cost
+                return poses, pos_all, lam, nu, cost
 
-            poses, pos_local, _, _, _ = jax.lax.fori_loop(
-                0, iters, body, (poses, pos_local, lam0, jnp.float32(2.0), cost0)
+            poses, pos_all, _, _, _ = jax.lax.fori_loop(
+                0, iters, body, (poses, pos_all, lam0, jnp.float32(2.0), cost0)
             )
-            return poses, pos_local
+            return poses, pos_all
 
         edge_active = jnp.ones_like(feat_ok)
-        poses, pos = lm_phase(poses0, pos0, edge_active, jnp.bool_(True), self.iters1)
+        ln_edge_active = jnp.ones_like(ln_feat_ok)
+        poses, pos = lm_phase(
+            poses0, pos_all0, edge_active, ln_edge_active, jnp.bool_(True), self.iters1
+        )
         # outlier pass (chi2 gate), then second phase without robust kernel
-        _, _, _, _, _, _, chi2, ok = build(poses, pos, edge_active, jnp.bool_(True))
+        *_, chi2, ok, chi2_ln, ok_ln = build(
+            poses, pos, edge_active, ln_edge_active, jnp.bool_(True)
+        )
         delta2 = jnp.where(is_stereo, C.CHI2_STEREO, C.CHI2_MONO)
+        delta2_ln = jnp.float32(C.CHI2_MONO)
         edge_active = ok & (chi2 <= delta2)
-        poses, pos = lm_phase(poses, pos, edge_active, jnp.bool_(False), self.iters2)
+        ln_edge_active = ok_ln & (chi2_ln <= delta2_ln)
+        poses, pos = lm_phase(
+            poses, pos, edge_active, ln_edge_active, jnp.bool_(False), self.iters2
+        )
 
-        # final outliers -> erase observations from the map (kf_lm_idx = -1)
-        _, _, _, _, _, _, chi2, ok = build(poses, pos, edge_active, jnp.bool_(False))
-        bad_edge = feat_ok & ((chi2 > delta2) | ~ok)
+        # final outliers -> erase observations from the map (kf_lm_idx = -1).
+        # Evaluate over ALL real optimization edges (including ones excluded in
+        # the first chi2 pass, like the reference's final vToErase sweep), but
+        # ONLY edges that were part of the optimization: observations of
+        # non-local landmarks (lm_slot_row == -1) were never edges and must
+        # not be erased — erasing them strips old KFs' observations on every
+        # KF insertion and destroys covisibility structure.
+        *_, chi2, ok_all, chi2_ln, ok_ln_all = build(
+            poses, pos, jnp.ones_like(feat_ok), jnp.ones_like(ln_feat_ok),
+            jnp.bool_(False),
+        )
+        bad_edge = feat_ok & (lm_slot_row >= 0) & ((chi2 > delta2) | ~ok_all)
+        bad_ln_edge = ln_feat_ok & (ln_slot_row >= 0) & (
+            (chi2_ln > delta2_ln) | ~ok_ln_all
+        )
 
         # ---- write back ----
         new_kf_pose = m.kf_pose.at[jnp.where(win_mask, win_ids, tr.max_kf)].set(
             poses[:W], mode="drop"
         )
         new_pt_pos = m.pt_pos.at[jnp.where(local_valid, local_ids, tr.max_pts)].set(
-            pos, mode="drop"
+            pos[:Pl], mode="drop"
         )
+        ln_sid = jnp.where(ln_sel_valid, ln_ids, tr.max_maplines)
+        new_ln_sw = m.ln_sw.at[ln_sid].set(pos[Pl:Pl + Ql], mode="drop")
+        new_ln_ew = m.ln_ew.at[ln_sid].set(pos[Pl + Ql:], mode="drop")
         # erase outlier observations row by row
         row_sel = jnp.where(rows_mask, rows_ids, tr.max_kf)
         cur = m.kf_lm_idx[rows_ids]
         new_rows = jnp.where(bad_edge, -1, cur)
         new_kf_lm = m.kf_lm_idx.at[row_sel].set(new_rows, mode="drop")
-        return m._replace(kf_pose=new_kf_pose, pt_pos=new_pt_pos, kf_lm_idx=new_kf_lm)
+        cur_ln = m.kf_ln_idx[rows_ids]
+        new_ln_rows = jnp.where(bad_ln_edge, -1, cur_ln)
+        new_kf_ln = m.kf_ln_idx.at[row_sel].set(new_ln_rows, mode="drop")
+        return m._replace(
+            kf_pose=new_kf_pose, pt_pos=new_pt_pos, kf_lm_idx=new_kf_lm,
+            ln_sw=new_ln_sw, ln_ew=new_ln_ew, kf_ln_idx=new_kf_ln,
+        )

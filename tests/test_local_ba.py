@@ -99,3 +99,125 @@ class TestLocalBA:
         np.testing.assert_array_equal(
             np.asarray(m_opt.kf_pose[0]), np.asarray(m.kf_pose[0])
         )
+
+
+class TestLineBA:
+    """Line edges in local BA (the fork's EdgeLineProjectXYZ,
+    src/Optimizer.cc ~450 line-edge blocks)."""
+
+    def _with_lines(self, tr, m, rng, n_lines=6):
+        """Inject ground-truth 3D lines + per-KF 2D line observations."""
+        import plslam_tpu.geometry.se3 as se3
+
+        import jax.numpy as jnp
+
+        K_np = np.asarray(tr.K)
+        n_kf = int(m.n_kf)
+        sw = rng.normal(0, 0.4, (n_lines, 3)) + np.array([0.0, 0.0, 3.0])
+        ew = sw + rng.normal(0, 0.6, (n_lines, 3))
+        kf_ln_obs = np.asarray(m.kf_ln_obs).copy()
+        kf_ln_idx = np.asarray(m.kf_ln_idx).copy()
+        kf_ln_valid = np.asarray(m.kf_ln_valid).copy()
+        for i in range(n_kf):
+            T = np.asarray(m.kf_pose[i])
+            for q in range(n_lines):
+                ps = T[:3, :3] @ sw[q] + T[:3, 3]
+                pe = T[:3, :3] @ ew[q] + T[:3, 3]
+                if ps[2] < 0.1 or pe[2] < 0.1:
+                    continue
+                us = K_np @ (ps / ps[2])
+                ue = K_np @ (pe / pe[2])
+                l = np.cross(us, ue)
+                l = l / np.linalg.norm(l[:2])
+                kf_ln_obs[i, q] = l.astype(np.float32)
+                kf_ln_idx[i, q] = q
+                kf_ln_valid[i, q] = True
+        m = m._replace(
+            kf_ln_obs=jnp.asarray(kf_ln_obs),
+            kf_ln_idx=jnp.asarray(kf_ln_idx),
+            kf_ln_valid=jnp.asarray(kf_ln_valid),
+            ln_sw=m.ln_sw.at[:n_lines].set(jnp.asarray(sw, jnp.float32)),
+            ln_ew=m.ln_ew.at[:n_lines].set(jnp.asarray(ew, jnp.float32)),
+            ln_valid=m.ln_valid.at[:n_lines].set(True),
+            ln_ref_kf=m.ln_ref_kf.at[:n_lines].set(0),
+            n_ln=jnp.int32(n_lines),
+        )
+        return m, sw, ew
+
+    @staticmethod
+    def _line_dist(p, a, b):
+        """Distance of points p [N,3] to the infinite 3D line through a,b."""
+        d = (b - a) / np.linalg.norm(b - a)
+        v = p - a
+        return np.linalg.norm(v - (v @ d)[:, None] * d, axis=-1)
+
+    def test_perturbed_line_converges(self, tracked_state):
+        from plslam_tpu.solvers.local_ba import LocalBA
+
+        tr, st, _ = tracked_state
+        rng = np.random.default_rng(7)
+        m, sw_gt, ew_gt = self._with_lines(tr, st.m, rng)
+        n_lines = sw_gt.shape[0]
+        # perturb the endpoints off the true line
+        pert = rng.normal(0, 0.05, (n_lines, 3)).astype(np.float32)
+        m_pert = m._replace(
+            ln_sw=m.ln_sw.at[:n_lines].add(jnp.asarray(pert)),
+            ln_ew=m.ln_ew.at[:n_lines].add(jnp.asarray(-pert)),
+        )
+        ba = LocalBA(tr, window=8, fixed=8, local_pts=2048, local_lines=16)
+        m_opt = ba.run(m_pert, jnp.int32(int(m.n_kf) - 1))
+
+        def mean_dist(mm):
+            sw = np.asarray(mm.ln_sw[:n_lines])
+            ew = np.asarray(mm.ln_ew[:n_lines])
+            ds = [
+                self._line_dist(np.stack([sw[q], ew[q]]), sw_gt[q], ew_gt[q]).mean()
+                for q in range(n_lines)
+            ]
+            return float(np.mean(ds))
+
+        before, after = mean_dist(m_pert), mean_dist(m_opt)
+        # 3D distance improves (it cannot reach 0 here: the synthetic camera
+        # baselines are ~2 cm, so the back-projected planes are nearly
+        # coincident and the out-of-plane direction is barely constrained)
+        assert after < before * 0.5, (before, after)
+
+        # the quantity BA controls — the point-to-2D-line pixel residual —
+        # must go to ~0 (measured: 10.6 px -> 0.011 px)
+        K_np = np.asarray(tr.K)
+
+        def px_resid(mm):
+            tot, cnt = 0.0, 0
+            for i in range(int(mm.n_kf)):
+                for q in range(n_lines):
+                    if int(mm.kf_ln_idx[i, q]) < 0:
+                        continue
+                    l = np.asarray(mm.kf_ln_obs[i, q])
+                    T = np.asarray(mm.kf_pose[i])
+                    for X in (np.asarray(mm.ln_sw[q]), np.asarray(mm.ln_ew[q])):
+                        P = T[:3, :3] @ X + T[:3, 3]
+                        tot += abs(l @ (K_np @ (P / P[2])))
+                        cnt += 1
+            return tot / max(cnt, 1)
+
+        assert px_resid(m_pert) > 5.0
+        assert px_resid(m_opt) < 0.1
+        # the point map must not be damaged by adding line edges
+        assert np.isfinite(np.asarray(m_opt.pt_pos)).all()
+
+    def test_line_outlier_observation_erased(self, tracked_state):
+        from plslam_tpu.solvers.local_ba import LocalBA
+
+        tr, st, _ = tracked_state
+        rng = np.random.default_rng(8)
+        m, sw_gt, ew_gt = self._with_lines(tr, st.m, rng)
+        # corrupt one observation of line 0 in the newest KF: rotate the 2D
+        # line far from the true projection
+        k = int(m.n_kf) - 1
+        bad = np.array([0.0, 1.0, -5000.0], np.float32)
+        m = m._replace(kf_ln_obs=m.kf_ln_obs.at[k, 0].set(jnp.asarray(bad)))
+        ba = LocalBA(tr, window=8, fixed=8, local_pts=2048, local_lines=16)
+        m_opt = ba.run(m, jnp.int32(k))
+        assert int(m_opt.kf_ln_idx[k, 0]) == -1  # erased as outlier
+        # healthy observations survive
+        assert int(np.asarray(m_opt.kf_ln_idx[k] >= 0).sum()) >= 4
