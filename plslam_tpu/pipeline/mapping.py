@@ -34,9 +34,16 @@ import jax
 import jax.numpy as jnp
 
 from plslam_tpu import constants as C
+from plslam_tpu.geometry import se3
 from plslam_tpu.matching import points as match_ops
 from plslam_tpu.ops import brief
-from plslam_tpu.slammap.state import MapState, covisibility, observation_matrix
+from plslam_tpu.slammap.state import (
+    MapState,
+    covisibility,
+    line_observation_matrix,
+    observation_matrix,
+    weighted_point_nobs,
+)
 
 
 class LocalMapper:
@@ -129,14 +136,29 @@ class LocalMapper:
         kf_lm = m.kf_lm_idx.at[k].set(new_row)
         # rewrite references through the replacement map (identity elsewhere)
         kf_lm = jnp.where(kf_lm >= 0, rep[jnp.clip(kf_lm, 0)], -1)
-        pt_valid = m.pt_valid.at[jnp.where(dup, loser, tr.max_pts)].set(
-            False, mode="drop"
+        loser_sid = jnp.where(dup, loser, tr.max_pts)
+        pt_valid = m.pt_valid.at[loser_sid].set(False, mode="drop")
+        # MapPoint::Replace (~250): record forwarding so stale references
+        # (last frame's lm_idx) can be rewritten, and fold the loser's
+        # found/visible counters into the winner
+        pt_replaced = m.pt_replaced.at[loser_sid].set(
+            jnp.where(dup, winner, -1), mode="drop"
         )
-        m = m._replace(kf_lm_idx=kf_lm, pt_valid=pt_valid)
-        # re-derive observation counts from the incidence matrix (stereo
-        # observations count double; all RGB-D KF features are stereo-backed)
-        obs = observation_matrix(m)
-        m = m._replace(pt_nobs=2 * jnp.sum(obs, 0).astype(jnp.int32))
+        win_sid = jnp.where(dup, winner, tr.max_pts)
+        pt_visible = m.pt_visible.at[win_sid].add(
+            m.pt_visible[jnp.clip(loser, 0, tr.max_pts - 1)], mode="drop"
+        )
+        pt_found = m.pt_found.at[win_sid].add(
+            m.pt_found[jnp.clip(loser, 0, tr.max_pts - 1)], mode="drop"
+        )
+        m = m._replace(
+            kf_lm_idx=kf_lm, pt_valid=pt_valid, pt_replaced=pt_replaced,
+            pt_visible=pt_visible, pt_found=pt_found,
+        )
+        # re-derive observation counts from the incidence matrix: stereo
+        # observations (u_r >= 0) count 2, mono (epipolar-triangulated far
+        # points) count 1 — matching the reference's AddObservation weights
+        m = m._replace(pt_nobs=weighted_point_nobs(m))
         return m
 
     # ------------------------------------------------------- triangulation
@@ -211,6 +233,108 @@ class LocalMapper:
         m = m._replace(kf_lm_idx=m.kf_lm_idx.at[j].set(row_j))
         return m
 
+    # ------------------------------------------------------------- refresh
+    @functools.cached_property
+    def _refresh(self):
+        return jax.jit(self._refresh_impl)
+
+    def _refresh_impl(self, m: MapState, k) -> MapState:
+        """MapPoint::ComputeDistinctiveDescriptors (~200) +
+        UpdateNormalAndDepth (~300) for every landmark observed by the new
+        keyframe — the reference refreshes these in ProcessNewKeyFrame and
+        after fuse; here one batched pass per KF insertion covers both.
+
+        Observations are gathered from the top-Kc covisible keyframes of k
+        (plus k itself): the pairwise-Hamming median over a [F, Kc, Kc]
+        batch stays tiny on the MXU, and observations outside the covisible
+        set of the newest observer are rare.
+        """
+        tr = self.tracker
+        F, Kc = tr.max_feat, min(32, tr.max_kf)
+        # covisible keyframes of k (incl. k)
+        cov = covisibility(m)
+        score = jnp.where(m.kf_valid, cov[k], -1).at[k].set(jnp.int32(2**30))
+        _, kf_sel = jax.lax.top_k(score, Kc)  # [Kc] KF ids, k first
+        kf_ok = jnp.take(score, kf_sel) > 0
+
+        # landmark -> slot map for KF k's bound landmarks
+        row_lm = m.kf_lm_idx[k]
+        sel_ok = (row_lm >= 0) & m.kf_feat_valid[k]
+        sel = jnp.full(tr.max_pts + 1, -1, jnp.int32).at[
+            jnp.where(sel_ok, row_lm, tr.max_pts)
+        ].set(jnp.arange(F, dtype=jnp.int32), mode="drop")[:-1]
+
+        # observations of the selected landmarks among the Kc keyframes
+        lm_c = m.kf_lm_idx[kf_sel]  # [Kc, F]
+        ok_c = (lm_c >= 0) & m.kf_feat_valid[kf_sel] & kf_ok[:, None]
+        slot_c = jnp.where(ok_c, sel[jnp.clip(lm_c, 0)], -1)  # [Kc, F] or -1
+        kc_ids = jnp.broadcast_to(
+            jnp.arange(Kc, dtype=jnp.int32)[:, None], (Kc, F)
+        )
+        s_flat = jnp.where(slot_c >= 0, slot_c, F).reshape(-1)
+        k_flat = kc_ids.reshape(-1)
+        D = jnp.zeros((F + 1, Kc, 32), jnp.uint8).at[s_flat, k_flat].set(
+            m.kf_desc[kf_sel].reshape(-1, 32), mode="drop"
+        )[:F]
+        Msk = jnp.zeros((F + 1, Kc), bool).at[s_flat, k_flat].max(
+            (slot_c >= 0).reshape(-1), mode="drop"
+        )[:F]
+
+        # pairwise Hamming per landmark: [F, Kc, Kc] batched MXU matmul
+        pm1 = brief.unpack_bits_pm1(D.reshape(-1, 32)).reshape(F, Kc, 256)
+        dot = jax.lax.dot_general(
+            pm1.astype(jnp.bfloat16), pm1.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ham = (256.0 - dot) * 0.5
+        pair_ok = Msk[:, :, None] & Msk[:, None, :]
+        dist = jnp.where(pair_ok, ham, jnp.float32(1e9))
+        # min-median pick: median over each row's valid distances (self=0
+        # included, like the reference's vDists), argmin over rows
+        srt = jnp.sort(dist, axis=-1)
+        cnt = jnp.sum(Msk, -1)  # [F]
+        med_i = jnp.clip((cnt - 1) // 2, 0)[:, None, None]
+        med = jnp.take_along_axis(srt, jnp.broadcast_to(med_i, (F, Kc, 1)), -1)[..., 0]
+        best_row = jnp.argmin(jnp.where(Msk, med, jnp.float32(1e9)), -1)  # [F]
+        best_desc = jnp.take_along_axis(D, best_row[:, None, None], 1)[:, 0]
+        write_ok = sel_ok & (cnt[jnp.clip(sel[jnp.clip(row_lm, 0)], 0)] > 0)
+        sid = jnp.where(write_ok, row_lm, tr.max_pts)
+        slot_of_row = jnp.clip(sel[jnp.clip(row_lm, 0)], 0)
+        m = m._replace(
+            pt_desc=m.pt_desc.at[sid].set(best_desc[slot_of_row], mode="drop")
+        )
+
+        # UpdateNormalAndDepth: mean viewing direction over the observing
+        # covisible KFs; scale band anchored at the NEW keyframe's
+        # observation (deviation: the reference anchors at mpRefKF — the
+        # newest observer's octave/distance is equivalent up to one scale
+        # step and needs no extra gather)
+        Twc = jax.vmap(se3.inverse)(m.kf_pose[kf_sel])  # [Kc,4,4]
+        centers = Twc[:, :3, 3]  # [Kc, 3]
+        pos_sel = m.pt_pos[jnp.clip(row_lm, 0)]  # [F, 3]
+        dvec = pos_sel[:, None, :] - centers[None, :, :]  # [F, Kc, 3]
+        # slot s observes kf row? Msk [F, Kc]
+        unit = dvec / jnp.clip(jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-6)
+        slot_msk = Msk[jnp.clip(sel[jnp.clip(row_lm, 0)], 0)]  # [F, Kc]
+        nsum = jnp.sum(jnp.where(slot_msk[..., None], unit, 0.0), 1)
+        normal = nsum / jnp.clip(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-6)
+        cam_k = centers[0]  # kf_sel[0] == k
+        dist_k = jnp.linalg.norm(pos_sel - cam_k, axis=-1)
+        scale_f = jnp.exp(
+            m.kf_octave[k].astype(jnp.float32) * tr.log_scale
+        )
+        dmax = dist_k * scale_f
+        dmin = dmax / float(tr.s.scale_factor ** (tr.n_levels - 1))
+        has_obs = jnp.sum(slot_msk, -1) > 0
+        sid2 = jnp.where(sel_ok & has_obs, row_lm, tr.max_pts)
+        return m._replace(
+            pt_normal=m.pt_normal.at[sid2].set(normal, mode="drop"),
+            pt_dist=m.pt_dist.at[sid2].set(
+                jnp.stack([dmin, dmax], -1), mode="drop"
+            ),
+        )
+
     # ------------------------------------------------------------ kf culling
     @functools.cached_property
     def _kf_cull(self):
@@ -239,9 +363,26 @@ class LocalMapper:
         # detach: invalidate KF and its feature rows
         kf_valid = m.kf_valid & ~cullable
         kf_feat_valid = m.kf_feat_valid & kf_valid[:, None]
-        m = m._replace(kf_valid=kf_valid, kf_feat_valid=kf_feat_valid)
+        kf_ln_valid = m.kf_ln_valid & kf_valid[:, None]
+        m = m._replace(
+            kf_valid=kf_valid, kf_feat_valid=kf_feat_valid, kf_ln_valid=kf_ln_valid
+        )
+        # SetBadFlag analogue (src/KeyFrame.cc ~480): landmarks referencing a
+        # culled KF get their reference reassigned to a surviving observing
+        # KF — otherwise loop-closure landmark correction (which moves each
+        # landmark with its ref KF's pose delta) leaves them in pre-loop
+        # coordinates because culled KFs' poses never change.
         obs = observation_matrix(m)
-        return m._replace(pt_nobs=2 * jnp.sum(obs, 0).astype(jnp.int32))
+        ref_bad = m.pt_valid & ~kf_valid[jnp.clip(m.pt_ref_kf, 0)]
+        fallback = jnp.argmax(obs, axis=0).astype(jnp.int32)
+        pt_ref = jnp.where(ref_bad & jnp.any(obs, 0), fallback, m.pt_ref_kf)
+        ln_obs = line_observation_matrix(m)
+        ln_ref_bad = m.ln_valid & ~kf_valid[jnp.clip(m.ln_ref_kf, 0)]
+        ln_fallback = jnp.argmax(ln_obs, axis=0).astype(jnp.int32)
+        ln_ref = jnp.where(ln_ref_bad & jnp.any(ln_obs, 0), ln_fallback, m.ln_ref_kf)
+        return m._replace(
+            pt_nobs=weighted_point_nobs(m), pt_ref_kf=pt_ref, ln_ref_kf=ln_ref
+        )
 
     def process(self, m: MapState, kf_id: int) -> MapState:
         k = jnp.int32(kf_id)
@@ -251,6 +392,7 @@ class LocalMapper:
             m = self._fuse(m, k)
         if self._ba is not None:
             m = self._ba.run(m, k)
+        m = self._refresh(m, k)
         if self.enable_kf_culling:
             m = self._kf_cull(m, k)
         return m

@@ -350,6 +350,19 @@ class Tracker:
 
         def do_track(ts):
             m = ts.m
+            # ---- 0. CheckReplacedInLastFrame (src/Tracking.cc §Track) ------
+            # Rewrite last-frame landmark bindings through the Replace
+            # forwarding map (two hops covers fuse chains), then drop
+            # bindings to invalidated landmarks — otherwise motion-model
+            # matching binds features to a fused-away point's frozen position.
+            lm_last = ts.last.lm_idx
+            for _ in range(2):
+                fwd = m.pt_replaced[jnp.clip(lm_last, 0)]
+                lm_last = jnp.where((lm_last >= 0) & (fwd >= 0), fwd, lm_last)
+            lm_last = jnp.where(
+                (lm_last >= 0) & m.pt_valid[jnp.clip(lm_last, 0)], lm_last, -1
+            )
+            ts = ts._replace(last=ts.last._replace(lm_idx=lm_last))
             # ---- 1. motion-model frame-to-last matching -------------------
             # Targets are last-frame features with a landmark OR a depth
             # measurement: the latter become temporary "visual odometry"
@@ -408,7 +421,47 @@ class Tracker:
             inl1 &= has1
             # map-landmark assignment only for real-landmark targets
             tgt_lm = ts.last.lm_idx[jnp.clip(tgt_of_kp, 0)]
-            lm_of_kp = jnp.where(inl1 & (tgt_of_kp >= 0) & (tgt_lm >= 0), tgt_lm, -1)
+            lm_mm = jnp.where(inl1 & (tgt_of_kp >= 0) & (tgt_lm >= 0), tgt_lm, -1)
+
+            # ---- 1b. TrackReferenceKeyFrame fallback (~600) ----------------
+            # When motion-model matching fails the reference retries against
+            # the reference KF's landmark-bearing features (SearchByBoW —
+            # here a dense MXU descriptor match; the vocab-node gating is a
+            # CPU pruning trick) before declaring LOST. lax.cond skips the
+            # extra match on the common path.
+            ok_mm = (n1 >= C.MIN_MATCHES_MOTION_MODEL) & (jnp.sum(inl1) >= 10)
+
+            def mm_result(_):
+                return Tcw1, lm_mm
+
+            def ref_kf_fallback(_):
+                ref = ts.ref_kf
+                ref_pm1 = brief.unpack_bits_pm1(m.kf_desc[ref])
+                ref_has_lm = m.kf_feat_valid[ref] & (m.kf_lm_idx[ref] >= 0)
+                mb, _ = match_ops.match_descriptors(
+                    frame.pm1, frame.valid, ref_pm1, ref_has_lm,
+                    th_dist=C.TH_LOW, nn_ratio=0.7,
+                    angle_a=frame.angle, angle_b=m.kf_angle[ref],
+                )
+                lm_fb = jnp.where(mb >= 0, m.kf_lm_idx[ref][jnp.clip(mb, 0)], -1)
+                has_fb = frame.valid & (lm_fb >= 0)
+                enough = jnp.sum(has_fb) >= C.MIN_MATCHES_REF_KF
+                pts_fb = PointObs(
+                    xw=m.pt_pos[jnp.clip(lm_fb, 0)],
+                    obs=frame.uvr,
+                    inv_sigma2=self.inv_sigma2[
+                        jnp.clip(frame.octave, 0, self.n_levels - 1)
+                    ],
+                    is_stereo=frame.depth > 0,
+                    valid=has_fb & enough,
+                )
+                Tcw_fb, inl_fb, _ = pose_optimization(
+                    ts.last.Tcw, pts_fb, self.K, self.bf
+                )
+                Tcw_fb = jnp.where(enough, Tcw_fb, ts.last.Tcw)
+                return Tcw_fb, jnp.where(inl_fb & has_fb & enough, lm_fb, -1)
+
+            Tcw1, lm_of_kp = jax.lax.cond(ok_mm, mm_result, ref_kf_fallback, None)
 
             # ---- 2. track "local map": all map points, masked dense -------
             uv_p, oct_p, vis = self._project_points(m, Tcw1)

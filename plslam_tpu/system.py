@@ -141,6 +141,9 @@ class System:
         self._timestamps, self._rel_poses = [], []
         self._ref_ids, self._tracked = [], []
         self._kf_timestamps = {}
+        if self._loop is not None:
+            self._loop.reset()  # stale BoW rows must not score vs the new map
+        self.n_loops_closed = 0
 
     def shutdown(self):
         if hasattr(self, "_jax"):
