@@ -33,12 +33,13 @@ import numpy as np
 from plslam_tpu import constants as C
 from plslam_tpu.geometry import se3
 from plslam_tpu.loopclosing.vocab import Vocabulary, l1_score
+from plslam_tpu.matching import points as match_ops
 from plslam_tpu.matching.points import match_descriptors
 from plslam_tpu.ops import brief
-from plslam_tpu.slammap.state import MapState, covisibility
+from plslam_tpu.slammap.state import MapState, covisibility, observation_matrix
 from plslam_tpu.solvers.pose import PointObs, pose_optimization
 from plslam_tpu.solvers.pose_graph import correct_landmarks, optimize_essential_graph
-from plslam_tpu.solvers.sim3_solver import solve_sim3_ransac
+from plslam_tpu.solvers.sim3_solver import optimize_sim3, solve_sim3_ransac
 
 
 class LoopCloser:
@@ -48,6 +49,15 @@ class LoopCloser:
         self.enable_gba = enable_gba
         self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
         self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
+        self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
+        self.n_loops_closed = 0
+
+    def reset(self):
+        """Clear all per-map host state (System::Reset): stale BoW rows of a
+        discarded map must not score against the new map's keyframes in
+        recycled slots."""
+        self.kf_bow[:] = 0.0
+        self._groups = []
         self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
 
@@ -80,6 +90,84 @@ class LoopCloser:
         )
 
     @functools.cached_property
+    def _sim3_opt(self):
+        return jax.jit(optimize_sim3, static_argnames=("fix_scale",))
+
+    @functools.cached_property
+    def _guided_match(self):
+        """SearchByProjection of a landmark subset into a KF's features
+        (ComputeSim3's final guided top-up, LoopClosing ~200/ ~330)."""
+
+        def f(m: MapState, Tcw, feat_row, loop_mask):
+            tr = self.tracker
+            uv_p, oct_p, vis = tr._project_points(m, Tcw)
+            vis &= loop_mask
+            kp_pm1 = brief.unpack_bits_pm1(m.kf_desc[feat_row])
+            all_pm1 = brief.unpack_bits_pm1(m.pt_desc)
+            match_kp, _ = match_ops.search_by_projection(
+                m.kf_uv[feat_row][:, :2], m.kf_octave[feat_row], kp_pm1,
+                m.kf_feat_valid[feat_row],
+                uv_p, oct_p, all_pm1, vis,
+                radius=7.5, th_dist=C.TH_LOW,
+            )
+            return match_kp  # i32[P]: feature slot per landmark or -1
+
+        return jax.jit(f)
+
+    @functools.cached_property
+    def _fuse_loop(self):
+        """SearchAndFuse (LoopClosing::CorrectLoop ~400): project the
+        loop-side landmarks into a corrected keyframe and fuse — the LOOP
+        landmark always wins (the reference Replace()s the current map point
+        with the loop point)."""
+
+        def f(m: MapState, j, loop_mask):
+            tr = self.tracker
+            uv_p, oct_p, vis = tr._project_points(m, m.kf_pose[j])
+            vis &= loop_mask
+            row_lm = m.kf_lm_idx[j]
+            # don't re-bind landmarks this KF already holds
+            bound = jnp.zeros(tr.max_pts, bool).at[
+                jnp.where(row_lm >= 0, row_lm, tr.max_pts)
+            ].set(True, mode="drop")
+            kp_pm1 = brief.unpack_bits_pm1(m.kf_desc[j])
+            all_pm1 = brief.unpack_bits_pm1(m.pt_desc)
+            match_kp, _ = match_ops.search_by_projection(
+                m.kf_uv[j][:, :2], m.kf_octave[j], kp_pm1, m.kf_feat_valid[j],
+                uv_p, oct_p, all_pm1, vis & ~bound,
+                radius=4.0, th_dist=C.TH_LOW,
+            )
+            src = jnp.where(match_kp >= 0, match_kp, tr.max_feat)
+            cand_of_kp = jnp.full(tr.max_feat, -1, jnp.int32).at[src].set(
+                jnp.where(
+                    match_kp >= 0, jnp.arange(tr.max_pts, dtype=jnp.int32), -1
+                ),
+                mode="drop",
+            )
+            cur = row_lm
+            has_cand = cand_of_kp >= 0
+            bind = has_cand & (cur < 0)
+            new_row = jnp.where(bind, cand_of_kp, cur)
+            dup = has_cand & (cur >= 0) & (cand_of_kp != cur)
+            loser = jnp.clip(cur, 0)  # current-side point loses
+            winner = jnp.clip(cand_of_kp, 0)
+            rep = jnp.arange(tr.max_pts, dtype=jnp.int32).at[
+                jnp.where(dup, loser, tr.max_pts)
+            ].set(jnp.where(dup, winner, -1), mode="drop")
+            kf_lm = m.kf_lm_idx.at[j].set(new_row)
+            kf_lm = jnp.where(kf_lm >= 0, rep[jnp.clip(kf_lm, 0)], -1)
+            loser_sid = jnp.where(dup, loser, tr.max_pts)
+            pt_valid = m.pt_valid.at[loser_sid].set(False, mode="drop")
+            pt_replaced = m.pt_replaced.at[loser_sid].set(
+                jnp.where(dup, winner, -1), mode="drop"
+            )
+            return m._replace(
+                kf_lm_idx=kf_lm, pt_valid=pt_valid, pt_replaced=pt_replaced
+            )
+
+        return jax.jit(f)
+
+    @functools.cached_property
     def _essential(self):
         return jax.jit(optimize_essential_graph, static_argnames=("n_iters", "fix_scale"))
 
@@ -102,19 +190,49 @@ class LoopCloser:
         n_kf = int(m.n_kf)
         cand_mask = np.zeros(len(scores), bool)
         cand_mask[:n_kf] = True
+        # culled keyframes keep stale kf_bow rows — never candidates, and
+        # never an anchor for close_loop (their poses are frozen)
+        cand_mask &= np.asarray(m.kf_valid)
         cand_mask[k] = False
         cand_mask[neighbours] = False
         cand_mask &= np.arange(len(scores)) < k - 5  # not temporally adjacent
+
+        # KeyFrameDatabase::DetectLoopCandidates (~80): shared-word gate —
+        # only keyframes sharing > 0.8 * maxCommonWords words with the query
+        # stay candidates
+        common = ((self.kf_bow > 0) @ (bow > 0).astype(np.float32))
+        common = np.where(cand_mask, common, 0.0)
+        if common.max() <= 0:
+            self._groups = []
+            return None
+        cand_mask &= common > 0.8 * common.max()
         cand_mask &= scores >= max(min_score, 1e-3)
         cands = np.where(cand_mask)[0]
         if len(cands) == 0:
             self._groups = []
             return None
-        # covisibility-consistency over consecutive keyframes (~3 groups)
+
         cov_np = np.asarray(covisibility(m))
+
+        # group-score accumulation (lAccScoreAndMatch): each candidate's
+        # score is summed over its top-10 covisible group members that are
+        # also candidates; only groups within 0.75 of the best accumulated
+        # score survive, represented by their best-scoring member
+        acc = {}
+        for c in cands:
+            g = np.argsort(-cov_np[c])[:10]
+            g = g[cov_np[c][g] >= C.COVIS_TH]
+            members = [int(c)] + [int(x) for x in g if cand_mask[x]]
+            acc_score = float(sum(scores[mem] for mem in members))
+            best_mem = max(members, key=lambda mem: scores[mem])
+            acc[int(c)] = (acc_score, best_mem)
+        best_acc = max(a for a, _ in acc.values())
+        survivors = sorted({bm for c, (a, bm) in acc.items() if a >= 0.75 * best_acc})
+
+        # covisibility-consistency over consecutive keyframes (~3 groups)
         new_groups = []
         best = None
-        for c in cands:
+        for c in survivors:
             group = set(np.where(cov_np[c] >= C.COVIS_TH)[0].tolist()) | {int(c)}
             consistency = 1
             for g_prev, n_prev in self._groups:
@@ -151,15 +269,56 @@ class LoopCloser:
         if not bool(res.ok):
             return state, False
 
+        # OptimizeSim3 (src/Optimizer.cc ~1100): LM refinement with
+        # bidirectional reprojection edges + chi2 pruning. Without it the
+        # loop transform rides on raw RANSAC+Horn.
+        p1 = se3.transform(m.kf_pose[k], x1)
+        p2 = se3.transform(m.kf_pose[cand], x2)
+        inv_s2 = jnp.asarray(tr.inv_sigma2)
+        oct1 = jnp.clip(m.kf_octave[k], 0, tr.n_levels - 1)
+        oct2 = jnp.clip(
+            m.kf_octave[cand][jnp.asarray(np.clip(mb, 0, None))], 0, tr.n_levels - 1
+        )
+        R_o, t_o, s_o, sim3_inl, n_inl = self._sim3_opt(
+            p1, p2,
+            m.kf_uv[k][:, :2],
+            m.kf_uv[cand][jnp.asarray(np.clip(mb, 0, None))][:, :2],
+            inv_s2[oct1], inv_s2[oct2],
+            jnp.asarray(pair_ok), tr.K, res.R, res.t, res.s,
+        )
+        if int(n_inl) < C.LOOP_SIM3_MIN_INLIERS:
+            return state, False
+
         # corrected pose of the current KF: T_c1c2 composed with the loop
         # KF's (trusted) pose — LoopClosing::CorrectLoop (~400)
         T_12 = np.eye(4, dtype=np.float32)
-        T_12[:3, :3] = np.asarray(res.R) * float(res.s)
-        T_12[:3, 3] = np.asarray(res.t)
+        T_12[:3, :3] = np.asarray(R_o) * float(s_o)
+        T_12[:3, 3] = np.asarray(t_o)
         poses_old = m.kf_pose
         T_cur_old = np.asarray(poses_old[k])
         T_cur_new = T_12 @ np.asarray(poses_old[cand])
         delta = jnp.asarray(T_cur_new @ np.linalg.inv(T_cur_old))
+
+        # final acceptance gate (ComputeSim3 tail ~330): guided
+        # SearchByProjection of the loop-KF neighbourhood's landmarks through
+        # the corrected pose — accept only with >= LOOP_TOTAL_MIN_MATCHES
+        # distinct supporting landmarks (Sim3 inliers + guided top-up).
+        cov_pre = np.asarray(covisibility(m))
+        loop_group = cov_pre[cand] >= C.COVIS_TH
+        loop_group[cand] = True
+        obs_np = np.asarray(observation_matrix(m))
+        loop_mask_np = obs_np[loop_group].any(0) & np.asarray(m.pt_valid)
+        match_g = np.asarray(
+            self._guided_match(
+                m, jnp.asarray(T_cur_new), jnp.int32(k), jnp.asarray(loop_mask_np)
+            )
+        )
+        lm_c_of_pair = np.where(pair_ok, lm_c[np.clip(mb, 0, None)], -1)
+        supporters = set(np.where(match_g >= 0)[0].tolist())
+        supporters |= set(lm_c_of_pair[np.asarray(sim3_inl)].tolist())
+        supporters.discard(-1)
+        if len(supporters) < C.LOOP_TOTAL_MIN_MATCHES:
+            return state, False
 
         # propagate over the current covisible window
         covis = self._covis_row(m, k)
@@ -205,6 +364,13 @@ class LoopCloser:
         new_sw = correct_landmarks(m.ln_sw, m.ln_valid, m.ln_ref_kf, poses_old, poses_new)
         new_ew = correct_landmarks(m.ln_ew, m.ln_valid, m.ln_ref_kf, poses_old, poses_new)
         m = m._replace(kf_pose=poses_new, pt_pos=new_pt, ln_sw=new_sw, ln_ew=new_ew)
+
+        # SearchAndFuse (CorrectLoop ~400): project the loop-side landmarks
+        # into every corrected window KF and fuse — without this, duplicate
+        # structure survives every loop closure
+        loop_mask_j = jnp.asarray(loop_mask_np)
+        for j in np.where(window)[0]:
+            m = self._fuse_loop(m, jnp.int32(int(j)), loop_mask_j)
 
         state = state._replace(
             m=m,
@@ -257,6 +423,7 @@ class LoopCloser:
         bow = np.asarray(self._bow_of_kf(frame.desc, frame.valid))
         scores = np.array(l1_score(jnp.asarray(self.kf_bow), jnp.asarray(bow)))
         scores[int(m.n_kf):] = -1
+        scores[~np.asarray(m.kf_valid)] = -1  # culled KFs: stale bow rows
         order = np.argsort(-scores)[:5]
         for cand in order:
             if scores[cand] <= 0:

@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from plslam_tpu import constants as C
 from plslam_tpu.geometry import camera, se3
 from plslam_tpu.utils.precision import mm
 
@@ -139,3 +140,130 @@ def solve_sim3_ransac(
     return Sim3Result(
         R=Rr, t=tr, s=sr, n_inliers=n, inliers=inl_r, ok=n >= min_inliers
     )
+
+
+def optimize_sim3(
+    p1,
+    p2,
+    uv1,
+    uv2,
+    inv_s2_1,
+    inv_s2_2,
+    valid,
+    K,
+    R0,
+    t0,
+    s0,
+    fix_scale: bool = True,
+    chi2_th: float = C.CHI2_SIM3,
+    iters: int = C.SIM3_OPT_ITERS,
+):
+    """LM refinement of a Sim3 with bidirectional reprojection edges
+    (Optimizer::OptimizeSim3, src/Optimizer.cc ~1100):
+
+      e1_i = uv1_i - pi(K, s R p2_i + t)        (observed in KF1's image)
+      e2_i = uv2_i - pi(K, (1/s) R^T (p1_i - t))  (observed in KF2's image)
+
+    p1/p2 f32[N,3] camera-frame positions of the matched landmark pair;
+    uv1/uv2 f32[N,2] the matched features' undistorted keypoints;
+    inv_s2_* per-feature octave information weights.
+
+    Parametrized as a left-composed update exp([rho, nu, lam]) on
+    (R, t, s) with lam frozen when fix_scale; Jacobians by jax.jacfwd over
+    the 7 params (the reference's ~200-line hand Jacobian is autodiff here).
+    Runs the reference schedule: `iters` LM steps, chi2 outlier pruning on
+    BOTH directions, `iters` more on inliers. Returns
+    (R, t, s, inliers bool[N], n_inliers)."""
+    f32 = jnp.float32
+
+    def apply_delta(d, R, t, s):
+        dR = se3.exp(jnp.concatenate([jnp.zeros(3), d[:3]])[None])[0][:3, :3]
+        s_new = s * jnp.exp(d[6]) if not fix_scale else s
+        return mm(dR, R), t + d[3:6], s_new
+
+    def residuals(d, R, t, s):
+        R_, t_, s_ = apply_delta(d, R, t, s)
+        q1 = s_ * mm(p2, R_.T) + t_  # p2 -> cam1
+        q2 = mm(p1 - t_, R_) / s_  # p1 -> cam2 (R^T (p1 - t) / s)
+        r1 = uv1 - camera.project(K, q1)
+        r2 = uv2 - camera.project(K, q2)
+        okz = (q1[:, 2] > 1e-3) & (q2[:, 2] > 1e-3)
+        return r1, r2, okz
+
+    def chi2_pair(d, R, t, s, active):
+        r1, r2, okz = residuals(d, R, t, s)
+        c1 = jnp.sum(r1 * r1, -1) * inv_s2_1
+        c2 = jnp.sum(r2 * r2, -1) * inv_s2_2
+        bad_z = ~okz
+        return c1, c2, bad_z
+
+    def cost_fn(d, R, t, s, active):
+        c1, c2, bad_z = chi2_pair(d, R, t, s, active)
+        # Huber rho on each directed edge (deltaHuber = sqrt(th2))
+        def rho(c):
+            return jnp.where(
+                c <= chi2_th, c, 2.0 * jnp.sqrt(chi2_th * jnp.clip(c, 0.0)) - chi2_th
+            )
+        w = active & valid
+        return jnp.sum(jnp.where(w, rho(c1) + rho(c2), 0.0)) + 1e7 * jnp.sum(
+            w & bad_z
+        )
+
+    n_par = 7
+
+    def lm_phase(R, t, s, active, n_iters):
+        def system(R, t, s):
+            def rvec(d):
+                r1, r2, _ = residuals(d, R, t, s)
+                return jnp.concatenate([r1, r2], 0)  # [2N, 2]
+
+            J = jax.jacfwd(rvec)(jnp.zeros(n_par, f32))  # [2N, 2, 7]
+            r0 = rvec(jnp.zeros(n_par, f32))
+            c1, c2, bad_z = chi2_pair(jnp.zeros(n_par, f32), R, t, s, active)
+            cc = jnp.concatenate([c1, c2])
+            hub = jnp.where(
+                cc <= chi2_th, 1.0, jnp.sqrt(chi2_th / jnp.clip(cc, 1e-12))
+            )
+            wbase = jnp.concatenate([inv_s2_1, inv_s2_2])
+            act = jnp.concatenate([active & valid & ~bad_z] * 2)
+            w = jnp.where(act, wbase * hub, 0.0)
+            H = jnp.einsum("eai,e,eaj->ij", J, w, J)
+            g = -jnp.einsum("eai,e,ea->i", J, w, r0)
+            return H, g
+
+        def body(_, carry):
+            R, t, s, lam, nu, cost = carry
+            H, g = system(R, t, s)
+            Hd = H + lam * jnp.eye(n_par)
+            if fix_scale:  # freeze the scale row/col
+                Hd = Hd.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+                g = g.at[6].set(0.0)
+            d = jnp.linalg.solve(Hd, g)
+            R_n, t_n, s_n = apply_delta(d, R, t, s)
+            new_cost = cost_fn(jnp.zeros(n_par, f32), R_n, t_n, s_n, active)
+            accept = (new_cost < cost) & jnp.all(jnp.isfinite(d))
+            R = jnp.where(accept, R_n, R)
+            t = jnp.where(accept, t_n, t)
+            s = jnp.where(accept, s_n, s)
+            cost = jnp.where(accept, new_cost, cost)
+            lam = jnp.where(accept, lam / 3.0, lam * nu)
+            nu = jnp.where(accept, 2.0, nu * 2.0)
+            return R, t, s, lam, nu, cost
+
+        cost0 = cost_fn(jnp.zeros(n_par, f32), R, t, s, active)
+        H0, _ = system(R, t, s)
+        lam0 = 1e-5 * jnp.max(jnp.abs(jnp.diag(H0)))
+        R, t, s, _, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (R, t, s, lam0, jnp.float32(2.0), cost0)
+        )
+        return R, t, s
+
+    active = jnp.ones_like(valid)
+    R, t, s = lm_phase(R0, t0, s0, active, iters)
+    # outlier pruning: drop the PAIR if either directed edge fails chi2
+    c1, c2, bad_z = chi2_pair(jnp.zeros(n_par, f32), R, t, s, active)
+    active = valid & (c1 <= chi2_th) & (c2 <= chi2_th) & ~bad_z
+    R, t, s = lm_phase(R, t, s, active, iters)
+    c1, c2, bad_z = chi2_pair(jnp.zeros(n_par, f32), R, t, s, active)
+    inl = valid & (c1 <= chi2_th) & (c2 <= chi2_th) & ~bad_z
+    return R, t, s, inl, jnp.sum(inl)
