@@ -168,6 +168,12 @@ class LoopCloser:
         return jax.jit(f)
 
     @functools.cached_property
+    def _pnp(self):
+        from plslam_tpu.solvers.pnp import solve_pnp_ransac
+
+        return jax.jit(solve_pnp_ransac)
+
+    @functools.cached_property
     def _essential(self):
         return jax.jit(optimize_essential_graph, static_argnames=("n_iters", "fix_scale"))
 
@@ -438,14 +444,25 @@ class LoopCloser:
             if (lm_of_kp >= 0).sum() < C.MIN_MATCHES_REF_KF:
                 continue
             has = jnp.asarray(lm_of_kp >= 0) & frame.valid
+            inv_s2 = jnp.asarray(tr.inv_sigma2)[
+                jnp.clip(frame.octave, 0, tr.n_levels - 1)
+            ]
+            xw = m.pt_pos[jnp.clip(jnp.asarray(lm_of_kp), 0)]
+            # init-free pose (PnPsolver): batched 3-point Horn RANSAC seeded
+            # from the frame's own depth, scored by reprojection — works
+            # even when the camera returns with a large offset from the
+            # candidate KF's stored pose
+            pnp = self._pnp(xw, frame.uvr[:, :2], frame.depth, inv_s2, has, tr.K)
+            if not bool(pnp.ok):
+                continue
             pts = PointObs(
-                xw=m.pt_pos[jnp.clip(jnp.asarray(lm_of_kp), 0)],
+                xw=xw,
                 obs=frame.uvr,
-                inv_sigma2=jnp.asarray(tr.inv_sigma2)[jnp.clip(frame.octave, 0, tr.n_levels - 1)],
+                inv_sigma2=inv_s2,
                 is_stereo=frame.depth > 0,
                 valid=has,
             )
-            Tcw, inl, _ = pose_optimization(m.kf_pose[cand], pts, tr.K, tr.bf)
+            Tcw, inl, _ = pose_optimization(pnp.Tcw, pts, tr.K, tr.bf)
             n = int(np.asarray(inl & has).sum())
             if n >= C.MIN_INLIERS_AFTER_RELOC:
                 state = state._replace(

@@ -155,3 +155,37 @@ class TestRelocalization:
         g6, d6, t6 = seq.frame(5)
         out = slam.track_rgbd(g6, d6, t6 + 0.5)
         assert slam.get_tracking_state() == "OK"
+
+    def test_relocalize_far_from_last_pose(self):
+        """Init-free relocalization (PnPsolver twin): after LOST, teleport
+        the internal pose estimate far away, then show a known view — the
+        batched Horn/PnP RANSAC must recover with NO usable pose prior."""
+        import jax.numpy as jnp
+
+        from plslam_tpu.system import System
+
+        seq = SyntheticSequence(n_frames=12, height=240, width=320, seed=3)
+        slam = System(seq.settings, max_pts=4096, max_kf=32, use_loop_closing=True)
+        for i in range(6):
+            g, d, t = seq.frame(i)
+            slam.track_rgbd(g, d, t)
+        T_good = np.asarray(slam.state.last.Tcw).copy()
+        # lose tracking, then corrupt the last pose AND every stored KF pose
+        # the reloc path might read as an initialization: only the init-free
+        # solve can recover (a solve seeded from these poses would fail)
+        for j in range(2):
+            slam.track_rgbd(np.zeros_like(g), d, t + 0.03 * (j + 1))
+        assert slam.get_tracking_state() == "LOST"
+        T_far = np.eye(4, dtype=np.float32)
+        T_far[:3, 3] = [50.0, -30.0, 20.0]
+        slam.state = slam.state._replace(
+            last=slam.state.last._replace(Tcw=jnp.asarray(T_far))
+        )
+        g6, d6, t6 = seq.frame(5)
+        out = slam.track_rgbd(g6, d6, t6 + 0.5)
+        assert slam.get_tracking_state() == "OK"
+        # next frame tracks normally and lands near the pre-lost pose
+        g7, d7, t7 = seq.frame(6)
+        out = slam.track_rgbd(g7, d7, t7 + 0.6)
+        assert out is not None
+        assert np.linalg.norm(out[:3, 3] - T_good[:3, 3]) < 0.5
