@@ -61,10 +61,12 @@ class SyntheticSequence:
         low_texture: bool = False,
         motion_scale: float = 1.0,
         fps: float = 30.0,
+        trajectory: str = "xyz",
     ):
         self.n_frames = n_frames
         self.height, self.width = height, width
         self.fps = fps
+        self.trajectory = trajectory  # "xyz" (fr1_xyz-style) | "loop"
         rng = np.random.default_rng(seed)
         self.settings = Settings(
             fx=520.0, fy=520.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
@@ -92,6 +94,24 @@ class SyntheticSequence:
         """Twc (camera->world), float64."""
         t = i / self.fps
         s = self.motion_scale
+        if self.trajectory == "loop":
+            # lateral circuit along the wall: out to 2*R in x and back to the
+            # starting view, with gentle y/yaw motion — drift accumulates on
+            # the excursion, the final ~25% of frames revisit the first ones
+            # (loop-closure e2e fixture; the dwell gives the keyframe policy
+            # time to fire inside the revisited region)
+            period = max(int(0.75 * self.n_frames), 2)
+            ph = 2.0 * np.pi * min(i, period) / period
+            R_loop = 1.2 * s
+            tx = R_loop * (1.0 - np.cos(ph))
+            ty = 0.12 * s * np.sin(2.0 * ph)
+            tz = 0.05 * s * np.sin(ph)
+            yaw = 0.05 * s * np.sin(ph)
+            cy_, sy = np.cos(yaw), np.sin(yaw)
+            T = np.eye(4)
+            T[:3, :3] = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+            T[:3, 3] = [tx, ty, tz]
+            return T
         tx = 0.25 * s * np.sin(0.9 * t)
         ty = 0.18 * s * np.sin(0.7 * t + 0.5)
         tz = 0.12 * s * np.sin(0.5 * t + 1.1)

@@ -49,6 +49,7 @@ class LoopCloser:
         self.enable_gba = enable_gba
         self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
         self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
+        self._loop_edges: list[tuple[int, int]] = []  # accepted loop edges
         self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
 
@@ -58,6 +59,7 @@ class LoopCloser:
         recycled slots."""
         self.kf_bow[:] = 0.0
         self._groups = []
+        self._loop_edges = []
         self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
 
@@ -182,6 +184,27 @@ class LoopCloser:
         cov = covisibility(m)
         return np.asarray(cov[k])
 
+    def _tfidf_scores(self, bow: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
+        """DBoW2 L1 similarity with TF-IDF weighting (TemplatedVocabulary
+        uses idf-weighted BowVectors; the round-1 plain-histogram scoring had
+        no discriminative power over common words). idf is computed online
+        over the CURRENT keyframes — equivalent in effect to the reference's
+        corpus idf, and it adapts to the actual scene."""
+        rows = self.kf_bow
+        df = ((rows > 0) & kf_valid[:, None]).sum(0).astype(np.float32)
+        n_docs = max(int(kf_valid.sum()), 1)
+        idf = np.log(n_docs / (1.0 + df)) + 1.0  # smoothed, >= ~0
+        idf = np.maximum(idf, 0.0)
+
+        def norm(v):
+            w = v * idf
+            s = np.abs(w).sum(axis=-1, keepdims=True)
+            return w / np.maximum(s, 1e-9)
+
+        q = norm(bow[None])[0]
+        kw = norm(rows)
+        return 1.0 - 0.5 * np.abs(kw - q[None]).sum(-1)
+
     def detect(self, m: MapState, k: int):
         """-> candidate KF id or None (LoopClosing::DetectLoop ~80)."""
         bow = np.asarray(self._bow_of_kf(m.kf_desc[k], m.kf_feat_valid[k]))
@@ -191,17 +214,16 @@ class LoopCloser:
             return None
         covis = self._covis_row(m, k)
         neighbours = np.where(covis >= C.COVIS_TH)[0]
-        scores = np.asarray(l1_score(jnp.asarray(self.kf_bow), jnp.asarray(bow)))
+        scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
         min_score = scores[neighbours].min() if len(neighbours) else 0.05
-        n_kf = int(m.n_kf)
-        cand_mask = np.zeros(len(scores), bool)
-        cand_mask[:n_kf] = True
         # culled keyframes keep stale kf_bow rows — never candidates, and
-        # never an anchor for close_loop (their poses are frozen)
-        cand_mask &= np.asarray(m.kf_valid)
+        # never an anchor for close_loop (their poses are frozen). Slots are
+        # REUSED, so validity + frame-id recency replace slot-index gates.
+        cand_mask = np.asarray(m.kf_valid).copy()
         cand_mask[k] = False
         cand_mask[neighbours] = False
-        cand_mask &= np.arange(len(scores)) < k - 5  # not temporally adjacent
+        fid = np.asarray(m.kf_frame_id)
+        cand_mask &= fid < fid[k] - 30  # not temporally adjacent (~1 s)
 
         # KeyFrameDatabase::DetectLoopCandidates (~80): shared-word gate —
         # only keyframes sharing > 0.8 * maxCommonWords words with the query
@@ -340,11 +362,24 @@ class LoopCloser:
         K_cap = tr.max_kf
         cov_np = np.asarray(covisibility(m))
         edge = cov_np >= C.COVIS_ESSENTIAL_TH
-        ids = np.arange(K_cap)
+        # spanning tree (KeyFrame::UpdateConnections ~330: parent = the
+        # max-covisibility keyframe among temporally EARLIER valid KFs;
+        # recomputed on demand, so it self-heals under keyframe culling and
+        # slot reuse — SetBadFlag ~480 reparenting comes for free)
+        kfv = np.asarray(m.kf_valid)
+        fid = np.asarray(m.kf_frame_id)
+        earlier = (fid[None, :] < fid[:, None]) & kfv[None, :] & kfv[:, None]
+        cw = np.where(earlier, cov_np, -1)
+        parent = cw.argmax(1)
+        has_parent = cw.max(1) > 0
         tree = np.zeros_like(edge)
-        tree[ids[1:], ids[:-1]] = True  # spanning tree approx: insertion chain
+        rows = np.where(has_parent)[0]
+        tree[rows, parent[rows]] = True
         edge = edge | tree
         edge[k, cand] = edge[cand, k] = True
+        # loop edges from PAST closures stay in every essential graph
+        for a, b in self._loop_edges:
+            edge[a, b] = edge[b, a] = True
         Sm_R, Sm_t, Sm_s = self._edge_measurements(np.asarray(poses_old), edge)
         # loop edge measurement: S_k * S_cand^-1 from the CORRECTED relative
         M = T_cur_new @ np.linalg.inv(np.asarray(poses_old[cand]))
@@ -387,15 +422,18 @@ class LoopCloser:
         )
         self.last_loop_kf = k
         self.n_loops_closed += 1
+        self._loop_edges.append((int(k), int(cand)))
 
         if self.enable_gba:
             from plslam_tpu.solvers.local_ba import LocalBA
 
+            # true GlobalBundleAdjustment (src/Optimizer.cc ~60 via
+            # RunGlobalBundleAdjustment ~600): every valid KF + landmark
             gba = LocalBA(
                 self.tracker,
-                window=min(64, tr.max_kf),
-                fixed=1,
-                local_pts=min(8192, tr.max_pts),
+                global_mode=True,
+                iters1=C.GLOBAL_BA_ITERS,
+                iters2=C.GLOBAL_BA_ITERS,
             )
             state = state._replace(m=gba.run(state.m, jnp.int32(k)))
         return state, True
@@ -427,9 +465,8 @@ class LoopCloser:
         m = state.m
         tr = self.tracker
         bow = np.asarray(self._bow_of_kf(frame.desc, frame.valid))
-        scores = np.array(l1_score(jnp.asarray(self.kf_bow), jnp.asarray(bow)))
-        scores[int(m.n_kf):] = -1
-        scores[~np.asarray(m.kf_valid)] = -1  # culled KFs: stale bow rows
+        scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
+        scores[~np.asarray(m.kf_valid)] = -1  # culled/unallocated slots
         order = np.argsort(-scores)[:5]
         for cand in order:
             if scores[cand] <= 0:

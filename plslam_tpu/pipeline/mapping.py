@@ -35,13 +35,16 @@ import jax.numpy as jnp
 
 from plslam_tpu import constants as C
 from plslam_tpu.geometry import se3
+from plslam_tpu.matching import lines as line_ops
 from plslam_tpu.matching import points as match_ops
 from plslam_tpu.ops import brief
 from plslam_tpu.slammap.state import (
     MapState,
+    clear_dead_references,
     covisibility,
     line_observation_matrix,
     observation_matrix,
+    refresh_counts,
     weighted_point_nobs,
 )
 
@@ -85,19 +88,25 @@ class LocalMapper:
             ((ln_ratio < C.CULL_FOUND_RATIO) & (m.ln_visible > 2))
             | ((ln_age >= 2) & (m.ln_nobs <= C.KF_CULL_MIN_OBS))
         )
-        return m._replace(
+        m = m._replace(
             pt_valid=m.pt_valid & ~bad, ln_valid=m.ln_valid & ~ln_bad
         )
+        # slots are recycled: stale references must not survive the cull
+        return refresh_counts(clear_dead_references(m))
 
     # ------------------------------------------------------------------- fuse
     @functools.cached_property
     def _fuse(self):
         return jax.jit(self._fuse_impl)
 
-    def _fuse_impl(self, m: MapState, k) -> MapState:
-        """SearchInNeighbors / ORBmatcher::Fuse (~1150) on the new KF."""
+    def _fuse_impl(self, m: MapState, k, cand_mask) -> MapState:
+        """SearchInNeighbors / ORBmatcher::Fuse (~1150): project the
+        landmarks in `cand_mask` into KF k and bind/replace. Used in BOTH
+        directions: all map landmarks into the new KF, and the new KF's
+        landmarks into each 1st/2nd-degree neighbour."""
         tr = self.tracker
         uv_p, oct_p, vis = tr._project_points(m, m.kf_pose[k])
+        vis &= cand_mask
         kp_pm1 = brief.unpack_bits_pm1(m.kf_desc[k])
         all_pm1 = brief.unpack_bits_pm1(m.pt_desc)
         # exclude landmarks already bound to this KF's features
@@ -159,7 +168,7 @@ class LocalMapper:
         # observations (u_r >= 0) count 2, mono (epipolar-triangulated far
         # points) count 1 — matching the reference's AddObservation weights
         m = m._replace(pt_nobs=weighted_point_nobs(m))
-        return m
+        return refresh_counts(m)
 
     # ------------------------------------------------------- triangulation
     @functools.cached_property
@@ -168,70 +177,241 @@ class LocalMapper:
 
     def _triangulate_impl(self, m: MapState, k) -> MapState:
         """CreateNewMapPoints (~250): depthless (beyond-range) features of
-        the new KF matched epipolarly against its best covisible KF and
-        triangulated into far landmarks."""
+        the new KF matched epipolarly against its TRIANG_COVIS_KFS best
+        covisible KFs (lax.fori_loop over neighbours — features bound in an
+        earlier pairing drop out of `free1` automatically) and triangulated
+        into far landmarks."""
         from plslam_tpu.matching.points import match_descriptors
         from plslam_tpu.solvers import triangulate as tri
 
         tr = self.tracker
         cov = covisibility(m)
-        j = jnp.argmax(jnp.where(m.kf_valid, cov[k], -1))
+        score = jnp.where(
+            m.kf_valid & (jnp.arange(tr.max_kf) != k), cov[k], -1
+        )
+        n_nb = min(C.TRIANG_COVIS_KFS, tr.max_kf)
+        top_score, top_ids = jax.lax.top_k(score, n_nb)
+        nb_ok = top_score >= C.COVIS_TH
+        inv_s2 = jnp.asarray(tr.inv_sigma2)
+
+        def pair(i, m):
+            j = top_ids[i]
+            usable = nb_ok[i]
+
+            def row(kf):
+                uv = m.kf_uv[kf]
+                free = m.kf_feat_valid[kf] & (m.kf_lm_idx[kf] < 0) & (uv[:, 2] < 0)
+                return uv[:, :2], free
+
+            uv1, free1 = row(k)
+            uv2, free2 = row(j)
+            F21 = tri.fundamental_from_poses(m.kf_pose[k], m.kf_pose[j], tr.K)
+            epi_ok = tri.epipolar_distance(uv1, uv2, F21) < 3.84  # ~2px sigma
+            mb, _ = match_descriptors(
+                brief.unpack_bits_pm1(m.kf_desc[k]), free1,
+                brief.unpack_bits_pm1(m.kf_desc[j]), free2,
+                th_dist=C.TH_LOW, nn_ratio=0.6, pair_mask=epi_ok,
+            )
+            matched = (mb >= 0) & usable
+            uv2m = uv2[jnp.clip(mb, 0)]
+            pw, par = tri.triangulate_midpoint(m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m)
+            ok = matched & tri.triangulation_checks(
+                m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m, pw, par,
+                inv_s2[jnp.clip(m.kf_octave[k], 0, tr.n_levels - 1)],
+                inv_s2[jnp.clip(m.kf_octave[j][jnp.clip(mb, 0)], 0, tr.n_levels - 1)],
+            )
+
+            pos_in_new = jnp.cumsum(ok.astype(jnp.int32)) - 1
+            free_order = jnp.argsort(m.pt_valid)  # free-list: invalid first
+            ok &= pos_in_new < jnp.sum(~m.pt_valid)
+            new_id = free_order[jnp.clip(pos_in_new, 0)].astype(jnp.int32)
+            sid = jnp.where(ok, new_id, tr.max_pts)
+            cam_c = -jnp.einsum("ji,j->i", m.kf_pose[k][:3, :3], m.kf_pose[k][:3, 3])
+            dvec = pw - cam_c
+            dist = jnp.linalg.norm(dvec, axis=-1)
+            m = m._replace(
+                pt_pos=m.pt_pos.at[sid].set(pw, mode="drop"),
+                pt_desc=m.pt_desc.at[sid].set(m.kf_desc[k], mode="drop"),
+                pt_normal=m.pt_normal.at[sid].set(
+                    dvec / jnp.clip(dist, 1e-6)[:, None], mode="drop"
+                ),
+                pt_dist=m.pt_dist.at[sid].set(
+                    jnp.stack([dist * 0.5, dist * 2.0], -1), mode="drop"
+                ),
+                pt_valid=m.pt_valid.at[sid].set(True, mode="drop"),
+                pt_ref_kf=m.pt_ref_kf.at[sid].set(k, mode="drop"),
+                pt_first_kf=m.pt_first_kf.at[sid].set(k, mode="drop"),
+                # triangulated far points are MONO observations (no depth)
+                pt_nobs=m.pt_nobs.at[sid].set(2, mode="drop"),
+                pt_visible=m.pt_visible.at[sid].set(1.0, mode="drop"),
+                pt_found=m.pt_found.at[sid].set(1.0, mode="drop"),
+                pt_replaced=m.pt_replaced.at[sid].set(-1, mode="drop"),
+            )
+            # bind observations in both keyframe rows
+            row_k = jnp.where(ok, new_id, m.kf_lm_idx[k])
+            m = m._replace(kf_lm_idx=m.kf_lm_idx.at[k].set(row_k))
+            row_j = m.kf_lm_idx[j]
+            tgt = jnp.where(ok, mb, tr.max_feat)
+            row_j = row_j.at[tgt].set(jnp.where(ok, new_id, -1), mode="drop")
+            m = m._replace(kf_lm_idx=m.kf_lm_idx.at[j].set(row_j))
+            return m
+
+        m = jax.lax.fori_loop(0, n_nb, pair, m)
+        return refresh_counts(m)
+
+    # ------------------------------------------------------ line triangulation
+    @functools.cached_property
+    def _triangulate_lines(self):
+        return jax.jit(self._triangulate_lines_impl)
+
+    def _triangulate_lines_impl(self, m: MapState, k) -> MapState:
+        """CreateNewMapLines: unbound keylines of the new KF matched by LBD
+        against the best covisible KF, triangulated by back-projected PLANE
+        INTERSECTION — each observed 2D line spans a plane through its
+        camera center; the 3D segment is the new KF's endpoint rays
+        intersected with the neighbour's plane. (The reference's depth-only
+        line creation misses all beyond-range structure.)"""
+        tr = self.tracker
+        cov = covisibility(m)
+        j = jnp.argmax(jnp.where(m.kf_valid & (jnp.arange(tr.max_kf) != k), cov[k], -1))
         usable = (cov[k, j] >= C.COVIS_TH) & (j != k)
 
-        def row(kf):
-            uv = m.kf_uv[kf]
-            free = m.kf_feat_valid[kf] & (m.kf_lm_idx[kf] < 0) & (uv[:, 2] < 0)
-            return uv[:, :2], free
-
-        uv1, free1 = row(k)
-        uv2, free2 = row(j)
-        F21 = tri.fundamental_from_poses(m.kf_pose[k], m.kf_pose[j], tr.K)
-        epi_ok = tri.epipolar_distance(uv1, uv2, F21) < 3.84  # ~2px sigma
-        mb, _ = match_descriptors(
-            brief.unpack_bits_pm1(m.kf_desc[k]), free1,
-            brief.unpack_bits_pm1(m.kf_desc[j]), free2,
-            th_dist=C.TH_LOW, nn_ratio=0.6, pair_mask=epi_ok,
+        free1 = m.kf_ln_valid[k] & (m.kf_ln_idx[k] < 0)
+        free2 = m.kf_ln_valid[j] & (m.kf_ln_idx[j] < 0)
+        mid1 = 0.5 * (m.kf_ln_sp[k] + m.kf_ln_ep[k])
+        seg1 = m.kf_ln_ep[k] - m.kf_ln_sp[k]
+        ang1 = jnp.arctan2(seg1[:, 1], seg1[:, 0])
+        mid2 = 0.5 * (m.kf_ln_sp[j] + m.kf_ln_ep[j])
+        seg2 = m.kf_ln_ep[j] - m.kf_ln_sp[j]
+        ang2 = jnp.arctan2(seg2[:, 1], seg2[:, 0])
+        # LBD + angle + midpoint window match (KF j lines as the "map" side)
+        mb, _ = line_ops.search_lines_by_projection(
+            mid1, ang1, brief.unpack_bits_pm1(m.kf_ln_desc[k]), free1,
+            mid2, ang2, brief.unpack_bits_pm1(m.kf_ln_desc[j]), free2,
+            radius=60.0, use_mad=False,
+        )  # mb i32[L]: k-line index per j-line
+        # invert to per-k-line j index
+        L = tr.max_lines
+        src = jnp.where(mb >= 0, mb, L)
+        mj_of_l = jnp.full(L, -1, jnp.int32).at[src].set(
+            jnp.where(mb >= 0, jnp.arange(L, dtype=jnp.int32), -1), mode="drop"
         )
-        matched = (mb >= 0) & usable
-        uv2m = uv2[jnp.clip(mb, 0)]
-        pw, par = tri.triangulate_midpoint(m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m)
-        inv_s2 = jnp.asarray(tr.inv_sigma2)
-        ok = matched & tri.triangulation_checks(
-            m.kf_pose[k], m.kf_pose[j], tr.K, uv1, uv2m, pw, par,
-            inv_s2[jnp.clip(m.kf_octave[k], 0, tr.n_levels - 1)],
-            inv_s2[jnp.clip(m.kf_octave[j][jnp.clip(mb, 0)], 0, tr.n_levels - 1)],
-        )
+        matched = (mj_of_l >= 0) & free1 & usable
 
-        pos_in_new = jnp.cumsum(ok.astype(jnp.int32)) - 1
-        new_id = m.n_pt + pos_in_new
-        ok &= new_id < tr.max_pts
-        sid = jnp.where(ok, new_id, tr.max_pts)
-        cam_c = -jnp.einsum("ji,j->i", m.kf_pose[k][:3, :3], m.kf_pose[k][:3, 3])
-        dvec = pw - cam_c
-        dist = jnp.linalg.norm(dvec, axis=-1)
+        # plane normals in world: n_w = R^T K^T l ; camera centers
+        K_m = tr.K
+        R1, t1 = m.kf_pose[k][:3, :3], m.kf_pose[k][:3, 3]
+        R2, t2 = m.kf_pose[j][:3, :3], m.kf_pose[j][:3, 3]
+        c1 = -R1.T @ t1
+        c2 = -R2.T @ t2
+        n1w = (m.kf_ln_obs[k] @ K_m) @ R1  # [L, 3] (l^T K) R = (R^T K^T l)^T
+        l2 = m.kf_ln_obs[j][jnp.clip(mj_of_l, 0)]
+        n2w = (l2 @ K_m) @ R2
+        n1u = n1w / jnp.clip(jnp.linalg.norm(n1w, axis=-1, keepdims=True), 1e-9)
+        n2u = n2w / jnp.clip(jnp.linalg.norm(n2w, axis=-1, keepdims=True), 1e-9)
+        # parallax gate: planes must not be near-parallel
+        sin_ang = jnp.linalg.norm(jnp.cross(n1u, n2u), axis=-1)
+        matched &= sin_ang > 0.02  # ~1.1 deg
+
+        def intersect(px):  # endpoint pixels of KF k -> 3D on plane 2
+            ray = (jnp.concatenate([px, jnp.ones((L, 1))], -1) @
+                   jnp.linalg.inv(K_m).T) @ R1  # [L, 3] world dirs
+            denom = jnp.sum(n2u * ray, -1)
+            s = jnp.sum(n2u * (c2 - c1), -1) / jnp.where(
+                jnp.abs(denom) > 1e-6, denom, 1.0
+            )
+            ok_s = (jnp.abs(denom) > 1e-6) & (s > 0.05) & (s < 40.0)
+            return c1 + s[:, None] * ray, ok_s
+
+        sw_w, ok_s = intersect(m.kf_ln_sp[k])
+        ew_w, ok_e = intersect(m.kf_ln_ep[k])
+        matched &= ok_s & ok_e
+        # reprojection gate into KF j: both endpoints near the observed line
+        for X in (sw_w, ew_w):
+            pc = X @ R2.T + t2
+            zok = pc[:, 2] > 0.05
+            uvh = (pc / jnp.clip(pc[:, 2:3], 1e-6)) @ K_m.T
+            d = jnp.abs(jnp.sum(uvh * l2, -1))
+            matched &= zok & (d < 3.0)
+
+        pos_new = jnp.cumsum(matched.astype(jnp.int32)) - 1
+        free_order = jnp.argsort(m.ln_valid)
+        matched &= pos_new < jnp.sum(~m.ln_valid)
+        new_id = free_order[jnp.clip(pos_new, 0)].astype(jnp.int32)
+        sid = jnp.where(matched, new_id, tr.max_maplines)
         m = m._replace(
-            pt_pos=m.pt_pos.at[sid].set(pw, mode="drop"),
-            pt_desc=m.pt_desc.at[sid].set(m.kf_desc[k], mode="drop"),
-            pt_normal=m.pt_normal.at[sid].set(
-                dvec / jnp.clip(dist, 1e-6)[:, None], mode="drop"
-            ),
-            pt_dist=m.pt_dist.at[sid].set(
-                jnp.stack([dist * 0.5, dist * 2.0], -1), mode="drop"
-            ),
-            pt_valid=m.pt_valid.at[sid].set(True, mode="drop"),
-            pt_ref_kf=m.pt_ref_kf.at[sid].set(k, mode="drop"),
-            pt_first_kf=m.pt_first_kf.at[sid].set(k, mode="drop"),
-            pt_nobs=m.pt_nobs.at[sid].set(2, mode="drop"),
-            n_pt=m.n_pt + jnp.sum(ok),
+            ln_sw=m.ln_sw.at[sid].set(sw_w, mode="drop"),
+            ln_ew=m.ln_ew.at[sid].set(ew_w, mode="drop"),
+            ln_desc=m.ln_desc.at[sid].set(m.kf_ln_desc[k], mode="drop"),
+            ln_valid=m.ln_valid.at[sid].set(True, mode="drop"),
+            ln_ref_kf=m.ln_ref_kf.at[sid].set(k, mode="drop"),
+            ln_first_kf=m.ln_first_kf.at[sid].set(k, mode="drop"),
+            ln_nobs=m.ln_nobs.at[sid].set(2, mode="drop"),
+            ln_visible=m.ln_visible.at[sid].set(1.0, mode="drop"),
+            ln_found=m.ln_found.at[sid].set(1.0, mode="drop"),
         )
-        # bind observations in both keyframe rows
-        row_k = jnp.where(ok, new_id, m.kf_lm_idx[k])
-        m = m._replace(kf_lm_idx=m.kf_lm_idx.at[k].set(row_k))
-        row_j = m.kf_lm_idx[j]
-        tgt = jnp.where(ok, mb, tr.max_feat)
-        row_j = row_j.at[tgt].set(jnp.where(ok, new_id, -1), mode="drop")
-        m = m._replace(kf_lm_idx=m.kf_lm_idx.at[j].set(row_j))
-        return m
+        # bind in both keyframe rows
+        row_k = jnp.where(matched, new_id, m.kf_ln_idx[k])
+        m = m._replace(kf_ln_idx=m.kf_ln_idx.at[k].set(row_k))
+        row_j = m.kf_ln_idx[j]
+        tgt = jnp.where(matched, mj_of_l, L)
+        row_j = row_j.at[tgt].set(jnp.where(matched, new_id, -1), mode="drop")
+        m = m._replace(kf_ln_idx=m.kf_ln_idx.at[j].set(row_j))
+        return refresh_counts(m)
+
+    # -------------------------------------------------------------- line fuse
+    @functools.cached_property
+    def _fuse_lines(self):
+        return jax.jit(self._fuse_lines_impl)
+
+    def _fuse_lines_impl(self, m: MapState, k) -> MapState:
+        """LSDmatcher::Fuse: project map lines into the new KF; bind free
+        keylines, Replace duplicates (more observations wins)."""
+        tr = self.tracker
+        ml_mid, ml_ang, ml_vis = tr._project_lines(m, m.kf_pose[k])
+        row_ln = m.kf_ln_idx[k]
+        bound = jnp.zeros(tr.max_maplines, bool).at[
+            jnp.where(row_ln >= 0, row_ln, tr.max_maplines)
+        ].set(True, mode="drop")
+        mid_k = 0.5 * (m.kf_ln_sp[k] + m.kf_ln_ep[k])
+        seg_k = m.kf_ln_ep[k] - m.kf_ln_sp[k]
+        ang_k = jnp.arctan2(seg_k[:, 1], seg_k[:, 0])
+        match_ln, _ = line_ops.search_lines_by_projection(
+            mid_k, ang_k, brief.unpack_bits_pm1(m.kf_ln_desc[k]),
+            m.kf_ln_valid[k],
+            ml_mid, ml_ang, brief.unpack_bits_pm1(m.ln_desc),
+            ml_vis & ~bound,
+        )
+        src = jnp.where(match_ln >= 0, match_ln, tr.max_lines)
+        cand = jnp.full(tr.max_lines, -1, jnp.int32).at[src].set(
+            jnp.where(
+                match_ln >= 0, jnp.arange(tr.max_maplines, dtype=jnp.int32), -1
+            ),
+            mode="drop",
+        )
+        cur = row_ln
+        has_cand = cand >= 0
+        bind = has_cand & (cur < 0)
+        new_row = jnp.where(bind, cand, cur)
+        dup = has_cand & (cur >= 0) & (cand != cur)
+        a = jnp.clip(cur, 0)
+        b = jnp.clip(cand, 0)
+        a_wins = m.ln_nobs[a] >= m.ln_nobs[b]
+        winner = jnp.where(a_wins, a, b)
+        loser = jnp.where(a_wins, b, a)
+        rep = jnp.arange(tr.max_maplines, dtype=jnp.int32).at[
+            jnp.where(dup, loser, tr.max_maplines)
+        ].set(jnp.where(dup, winner, -1), mode="drop")
+        kf_ln = m.kf_ln_idx.at[k].set(new_row)
+        kf_ln = jnp.where(kf_ln >= 0, rep[jnp.clip(kf_ln, 0)], -1)
+        ln_valid = m.ln_valid.at[jnp.where(dup, loser, tr.max_maplines)].set(
+            False, mode="drop"
+        )
+        m = m._replace(kf_ln_idx=kf_ln, ln_valid=ln_valid)
+        ln_obs = line_observation_matrix(m)
+        return refresh_counts(
+            m._replace(ln_nobs=2 * jnp.sum(ln_obs, 0).astype(jnp.int32))
+        )
 
     # ------------------------------------------------------------- refresh
     @functools.cached_property
@@ -380,16 +560,47 @@ class LocalMapper:
         ln_ref_bad = m.ln_valid & ~kf_valid[jnp.clip(m.ln_ref_kf, 0)]
         ln_fallback = jnp.argmax(ln_obs, axis=0).astype(jnp.int32)
         ln_ref = jnp.where(ln_ref_bad & jnp.any(ln_obs, 0), ln_fallback, m.ln_ref_kf)
-        return m._replace(
+        return refresh_counts(m._replace(
             pt_nobs=weighted_point_nobs(m), pt_ref_kf=pt_ref, ln_ref_kf=ln_ref
-        )
+        ))
+
+    @functools.cached_property
+    def _lm_mask_of_kf(self):
+        def f(m: MapState, k):
+            row = m.kf_lm_idx[k]
+            P = m.pt_valid.shape[0]
+            return jnp.zeros(P, bool).at[
+                jnp.where(row >= 0, row, P)
+            ].set(True, mode="drop") & m.pt_valid
+
+        return jax.jit(f)
 
     def process(self, m: MapState, kf_id: int) -> MapState:
+        import numpy as np
+
         k = jnp.int32(kf_id)
         m = self._cull(m, k)
         m = self._triangulate(m, k)
+        m = self._triangulate_lines(m, k)
         if self.enable_fuse:
-            m = self._fuse(m, k)
+            # direction 1: every visible map landmark into the new KF (a
+            # superset of the reference's neighbour-landmark projection)
+            m = self._fuse(m, k, m.pt_valid)
+            m = self._fuse_lines(m, k)
+            # direction 2 (SearchInNeighbors ~500): the new KF's landmarks
+            # into its 1st- and 2nd-degree covisible neighbours
+            cov = np.asarray(covisibility(m))
+            first = np.argsort(-cov[kf_id])[:10]
+            first = first[cov[kf_id][first] >= C.COVIS_TH]
+            targets = set(int(x) for x in first)
+            for j in first:
+                sec = np.argsort(-cov[j])[:5]
+                targets |= set(int(x) for x in sec[cov[j][sec] >= C.COVIS_TH])
+            targets.discard(kf_id)
+            if targets:
+                lm_k = self._lm_mask_of_kf(m, k)
+                for j in sorted(targets)[:12]:
+                    m = self._fuse(m, jnp.int32(j), lm_k)
         if self._ba is not None:
             m = self._ba.run(m, k)
         m = self._refresh(m, k)

@@ -43,7 +43,7 @@ from plslam_tpu.geometry import camera, se3
 from plslam_tpu.matching import lines as line_ops
 from plslam_tpu.matching import points as match_ops
 from plslam_tpu.ops import brief
-from plslam_tpu.slammap.state import MapState, empty_map
+from plslam_tpu.slammap.state import MapState, empty_map, refresh_counts
 from plslam_tpu.solvers.pose import LineObs, PointObs, pose_optimization
 
 ST_UNINIT = 0
@@ -141,9 +141,14 @@ class Tracker:
     # ------------------------------------------------------------- map insert
     def _insert_keyframe(self, m: MapState, frame: FrameData, Tcw, lm_of_kp, ml_of_ln, do, frame_id):
         """Masked KeyFrame + MapPoint/MapLine creation
-        (Tracking::CreateNewKeyFrame ~1100 + StereoInitialization ~450)."""
-        do = do & (m.n_kf < self.max_kf)
-        k = jnp.minimum(m.n_kf, self.max_kf - 1)
+        (Tracking::CreateNewKeyFrame ~1100 + StereoInitialization ~450).
+
+        Slots are allocated from FREE LISTS (first-invalid-slot order):
+        culled keyframes/landmarks are recycled, so long sequences never
+        exhaust the fixed capacities as long as culling keeps up — the
+        TPU-native analogue of the reference's heap delete/new."""
+        do = do & jnp.any(~m.kf_valid)
+        k = jnp.argmax(~m.kf_valid).astype(jnp.int32)  # first free KF slot
 
         # --- new landmarks from depth-valid unmatched features ---
         # CreateNewKeyFrame (~1100): sorted by depth, create while
@@ -159,8 +164,10 @@ class Tracker:
         )
         promote = cand & (close | (rank < C.NEW_KF_MAX_CLOSE_POINTS)) & do
         pos_in_new = jnp.cumsum(promote.astype(jnp.int32)) - 1
-        new_id = m.n_pt + pos_in_new
-        promote &= new_id < self.max_pts
+        free_order = jnp.argsort(m.pt_valid)  # stable: invalid slots first
+        n_free = jnp.sum(~m.pt_valid)
+        promote &= pos_in_new < n_free
+        new_id = free_order[jnp.clip(pos_in_new, 0)].astype(jnp.int32)
         scatter_id = jnp.where(promote, new_id, self.max_pts)  # drop OOB
 
         Twc = se3.inverse(Tcw)
@@ -188,7 +195,10 @@ class Tracker:
             # stereo observations count double (MapPoint::AddObservation:
             # nObs += 2 when mvuRight >= 0) — keyframe policy depends on this
             pt_nobs=m.pt_nobs.at[scatter_id].set(2, mode="drop"),
-            n_pt=m.n_pt + jnp.sum(promote),
+            # recycled slots: reset per-landmark counters and forwarding
+            pt_visible=m.pt_visible.at[scatter_id].set(1.0, mode="drop"),
+            pt_found=m.pt_found.at[scatter_id].set(1.0, mode="drop"),
+            pt_replaced=m.pt_replaced.at[scatter_id].set(-1, mode="drop"),
         )
 
         # --- new map lines from unmatched keylines with valid endpoint
@@ -204,8 +214,9 @@ class Tracker:
             & do
         )
         ln_pos_new = jnp.cumsum(ln_cand.astype(jnp.int32)) - 1
-        ln_new_id = m.n_ln + ln_pos_new
-        ln_cand &= ln_new_id < self.max_maplines
+        ln_free_order = jnp.argsort(m.ln_valid)
+        ln_cand &= ln_pos_new < jnp.sum(~m.ln_valid)
+        ln_new_id = ln_free_order[jnp.clip(ln_pos_new, 0)].astype(jnp.int32)
         ln_scatter = jnp.where(ln_cand, ln_new_id, self.max_maplines)
         Twc_l = se3.inverse(Tcw)
         sw_w = se3.transform(Twc_l, camera.backproject(self.K, frame.ln_sp, frame.ln_depth_sp))
@@ -218,7 +229,8 @@ class Tracker:
             ln_ref_kf=m.ln_ref_kf.at[ln_scatter].set(k, mode="drop"),
             ln_first_kf=m.ln_first_kf.at[ln_scatter].set(k, mode="drop"),
             ln_nobs=m.ln_nobs.at[ln_scatter].set(2, mode="drop"),
-            n_ln=m.n_ln + jnp.sum(ln_cand),
+            ln_visible=m.ln_visible.at[ln_scatter].set(1.0, mode="drop"),
+            ln_found=m.ln_found.at[ln_scatter].set(1.0, mode="drop"),
         )
         row_ln = jnp.where(ln_cand, ln_new_id, jnp.where(do, ml_of_ln, -1))
         ln_matched = do & frame.ln_valid & (ml_of_ln >= 0)
@@ -226,6 +238,9 @@ class Tracker:
             kf_ln_obs=m.kf_ln_obs.at[k].set(jnp.where(do, frame.ln_line2d, m.kf_ln_obs[k])),
             kf_ln_idx=m.kf_ln_idx.at[k].set(jnp.where(do, row_ln, m.kf_ln_idx[k])),
             kf_ln_valid=m.kf_ln_valid.at[k].set(jnp.where(do, frame.ln_valid, m.kf_ln_valid[k])),
+            kf_ln_desc=m.kf_ln_desc.at[k].set(jnp.where(do, frame.ln_desc, m.kf_ln_desc[k])),
+            kf_ln_sp=m.kf_ln_sp.at[k].set(jnp.where(do, frame.ln_sp, m.kf_ln_sp[k])),
+            kf_ln_ep=m.kf_ln_ep.at[k].set(jnp.where(do, frame.ln_ep, m.kf_ln_ep[k])),
             ln_nobs=m.ln_nobs.at[jnp.where(ln_matched, ml_of_ln, self.max_maplines)].add(2, mode="drop"),
             ln_desc=m.ln_desc.at[jnp.where(ln_matched, ml_of_ln, self.max_maplines)].set(frame.ln_desc, mode="drop"),
         )
@@ -255,8 +270,8 @@ class Tracker:
             pt_desc=m.pt_desc.at[jnp.where(matched, lm_of_kp, self.max_pts)].set(
                 frame.desc, mode="drop"
             ),
-            n_kf=m.n_kf + do.astype(jnp.int32),
         )
+        m = refresh_counts(m)
         return m, row_lm, k
 
     # ---------------------------------------------------------------- project

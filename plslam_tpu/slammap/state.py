@@ -40,6 +40,9 @@ class MapState(NamedTuple):
     kf_ln_obs: jnp.ndarray  # f32[K, L, 3] observed 2D line (a, b, c) normalized
     kf_ln_idx: jnp.ndarray  # i32[K, L] map-line id or -1
     kf_ln_valid: jnp.ndarray  # bool[K, L]
+    kf_ln_desc: jnp.ndarray  # u8[K, L, 32] LBD descriptors (line triangulation/fuse)
+    kf_ln_sp: jnp.ndarray  # f32[K, L, 2] observed endpoint pixels
+    kf_ln_ep: jnp.ndarray  # f32[K, L, 2]
     # --- map points ---
     pt_pos: jnp.ndarray  # f32[P, 3]
     pt_desc: jnp.ndarray  # u8[P, 32] distinctive descriptor
@@ -65,9 +68,9 @@ class MapState(NamedTuple):
     ln_visible: jnp.ndarray  # f32[Q]
     ln_found: jnp.ndarray  # f32[Q]
     # --- counters ---
-    n_kf: jnp.ndarray  # i32[] number of allocated KF slots (monotonic)
-    n_pt: jnp.ndarray  # i32[] next free map-point slot (monotonic)
-    n_ln: jnp.ndarray  # i32[] next free map-line slot (monotonic)
+    n_kf: jnp.ndarray  # i32[] number of VALID keyframes (slots are reused)
+    n_pt: jnp.ndarray  # i32[] number of valid map points
+    n_ln: jnp.ndarray  # i32[] number of valid map lines
 
 
 def empty_map(
@@ -92,6 +95,9 @@ def empty_map(
         kf_ln_obs=jnp.zeros((K, L, 3), f32),
         kf_ln_idx=jnp.full((K, L), -1, i32),
         kf_ln_valid=jnp.zeros((K, L), bool),
+        kf_ln_desc=jnp.zeros((K, L, 32), jnp.uint8),
+        kf_ln_sp=jnp.zeros((K, L, 2), f32),
+        kf_ln_ep=jnp.zeros((K, L, 2), f32),
         pt_pos=jnp.zeros((P, 3), f32),
         pt_desc=jnp.zeros((P, 32), jnp.uint8),
         pt_normal=jnp.zeros((P, 3), f32),
@@ -133,6 +139,32 @@ def observation_matrix(m: MapState):
     obs = jnp.zeros((K, P), bool)
     obs = obs.at[kf_ids.reshape(-1), lm_safe.reshape(-1)].max(ok.reshape(-1))
     return obs
+
+
+def clear_dead_references(m: MapState) -> MapState:
+    """Drop kf_lm_idx / kf_ln_idx references to invalidated landmarks.
+
+    Required for slot reuse: a culled landmark's slot may be reallocated to
+    a brand-new landmark, so stale references must not survive the cull
+    (the reference's EraseObservation does this eagerly per observation)."""
+    lm = m.kf_lm_idx
+    lm_ok = (lm >= 0) & m.pt_valid[jnp.clip(lm, 0)]
+    ln = m.kf_ln_idx
+    ln_ok = (ln >= 0) & m.ln_valid[jnp.clip(ln, 0)]
+    return m._replace(
+        kf_lm_idx=jnp.where(lm_ok, lm, -1),
+        kf_ln_idx=jnp.where(ln_ok, ln, -1),
+    )
+
+
+def refresh_counts(m: MapState) -> MapState:
+    """n_kf / n_pt / n_ln = number of currently-valid entities (slots are
+    reused, so these are live counts, not monotonic watermarks)."""
+    return m._replace(
+        n_kf=jnp.sum(m.kf_valid).astype(jnp.int32),
+        n_pt=jnp.sum(m.pt_valid).astype(jnp.int32),
+        n_ln=jnp.sum(m.ln_valid).astype(jnp.int32),
+    )
 
 
 def weighted_point_nobs(m: MapState):

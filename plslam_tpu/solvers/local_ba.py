@@ -84,8 +84,17 @@ class LocalBA:
         local_lines: int = 256,
         iters1: int = C.LOCAL_BA_ITERS_1,
         iters2: int = C.LOCAL_BA_ITERS_2,
+        global_mode: bool = False,
     ):
+        """global_mode=True turns this into GlobalBundleAdjustment
+        (src/Optimizer.cc ~60): the window is EVERY valid keyframe (gauge =
+        KF 0), no fixed ring, and all valid landmarks/lines enter — the same
+        Schur machinery, map-wide scope."""
         self.tracker = tracker
+        self.global_mode = global_mode
+        if global_mode:
+            window, fixed = tracker.max_kf, 1
+            local_pts, local_lines = tracker.max_pts, tracker.max_maplines
         self.W = min(window, tracker.max_kf)
         self.X = min(fixed, tracker.max_kf)
         self.Pl = min(local_pts, tracker.max_pts)
@@ -100,7 +109,9 @@ class LocalBA:
     def _select(self, m: MapState, k):
         """Pick window/fixed keyframes + local landmark slots."""
         tr = self.tracker
-        obs = observation_matrix(m)  # [K, P] bool
+        obs = observation_matrix(m)  # [K, P]
+        if self.global_mode:
+            return self._select_global(m, k, obs)
         obs_f = obs.astype(jnp.bfloat16)
         covis_k = jax.lax.dot_general(
             obs_f, obs_f[k], (((1,), (0,)), ((), ())),
@@ -146,6 +157,30 @@ class LocalBA:
             jnp.where(ln_sel_valid, ln_ids, tr.max_maplines)
         ].set(jnp.arange(self.Ql, dtype=jnp.int32), mode="drop")
 
+        return (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid,
+                lm_slot, ln_ids, ln_sel_valid, ln_slot)
+
+    def _select_global(self, m: MapState, k, obs):
+        """GlobalBundleAdjustment scope: all valid KFs, all landmarks."""
+        tr = self.tracker
+        win_ids = jnp.argsort(~m.kf_valid).astype(jnp.int32)[: self.W]
+        win_mask = m.kf_valid[win_ids]
+        fix_ids = jnp.zeros(self.X, jnp.int32)
+        fix_valid = jnp.zeros(self.X, bool)
+        local_ids = jnp.arange(self.Pl, dtype=jnp.int32)
+        local_valid = m.pt_valid[: self.Pl]
+        lm_slot = jnp.where(
+            jnp.arange(tr.max_pts) < self.Pl,
+            jnp.arange(tr.max_pts, dtype=jnp.int32), -1
+        )
+        lm_slot = jnp.where(m.pt_valid, lm_slot, -1)
+        ln_ids = jnp.arange(self.Ql, dtype=jnp.int32)
+        ln_sel_valid = m.ln_valid[: self.Ql]
+        ln_slot = jnp.where(
+            jnp.arange(tr.max_maplines) < self.Ql,
+            jnp.arange(tr.max_maplines, dtype=jnp.int32), -1
+        )
+        ln_slot = jnp.where(m.ln_valid, ln_slot, -1)
         return (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid,
                 lm_slot, ln_ids, ln_sel_valid, ln_slot)
 

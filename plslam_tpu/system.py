@@ -36,7 +36,11 @@ class System:
         use_loop_closing: bool | None = None,
         max_kf: int = C.MAX_KF,
         max_pts: int = C.MAX_PTS,
+        log_path: str | Path | None = None,
     ):
+        """log_path: append one JSON line per tracked frame (schema:
+        frame, t, state, inliers, matches, new_kf, kf_slot, n_kf, n_pt,
+        n_ln, loops_closed, ms)."""
         if sensor.lower() != "rgbd":
             raise ValueError("only the RGB-D pipeline is supported (like the reference fork)")
         if not isinstance(settings, Settings):
@@ -68,6 +72,11 @@ class System:
             self._loop = LoopCloser(self.tracker)
         self.localization_only = False
         self.n_loops_closed = 0
+        # per-frame structured log (SURVEY.md §6 metrics row): one JSON line
+        # per frame — the observability the reference only had via Pangolin
+        self._log_fh = None
+        if log_path is not None:
+            self._log_fh = open(log_path, "a", buffering=1)
         # per-frame trajectory log (host side): SaveTrajectoryTUM replay data
         self._timestamps: list[float] = []
         self._kf_timestamps: dict[int, float] = {}
@@ -79,7 +88,11 @@ class System:
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
         """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
         by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None."""
+        import time as _time
+
         import jax.numpy as jnp
+
+        t_start = _time.perf_counter()
 
         gray = rgb
         if gray.ndim == 3:
@@ -115,6 +128,25 @@ class System:
         self._ref_ids.append(int(out.ref_kf))
         tracked = bool(out.tracked)
         self._tracked.append(tracked)
+        if self._log_fh is not None:
+            import json
+            import time as _time
+
+            m = self.state.m
+            self._log_fh.write(json.dumps({
+                "frame": int(self.state.frame_id) - 1,
+                "t": float(timestamp),
+                "state": TRACKING_STATES[int(self.state.status)],
+                "inliers": int(out.n_inliers),
+                "matches": int(out.n_matches),
+                "new_kf": new_kf,
+                "kf_slot": int(out.kf_id) if new_kf else -1,
+                "n_kf": int(m.n_kf),
+                "n_pt": int(m.n_pt),
+                "n_ln": int(m.n_ln),
+                "loops_closed": self.n_loops_closed,
+                "ms": round((_time.perf_counter() - t_start) * 1e3, 2),
+            }) + "\n")
         return np.asarray(out.Tcw, np.float64) if tracked else None
 
     # ------------------------------------------------------------------- mode
@@ -148,6 +180,9 @@ class System:
     def shutdown(self):
         if hasattr(self, "_jax"):
             self._jax.block_until_ready(self.state)
+        if self._log_fh is not None:
+            self._log_fh.close()
+            self._log_fh = None
 
     # ------------------------------------------------------------------- save
     def save_map(self, path: str | Path):

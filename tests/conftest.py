@@ -20,6 +20,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite is dominated by XLA compiles of
+# the same programs across processes/runs (keyed by HLO hash — safe)
+jax.config.update("jax_compilation_cache_dir", "/tmp/plslam_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -153,3 +153,81 @@ class TestLowTextureE2E:
         slam.save_trajectory_tum("/tmp/_lines_traj.txt")
         rmse, n = ate_rmse(load_trajectory_tum("/tmp/_lines_traj.txt"), line_seq.gt_trajectory())
         assert rmse < 0.02, f"ATE {rmse*100:.2f} cm"
+
+
+class TestLineTriangulation:
+    """CreateNewMapLines twin: plane-intersection triangulation of
+    depthless keylines between the new KF and its best covisible KF."""
+
+    def test_triangulates_known_line(self):
+        import jax.numpy as jnp
+
+        from plslam_tpu.pipeline.mapping import LocalMapper
+        from plslam_tpu.pipeline.tracking import Tracker
+
+        seq = SyntheticSequence(n_frames=2, height=240, width=320)
+        tr = Tracker(seq.settings, max_kf=4, max_pts=256, max_feat=64,
+                     max_lines=8, max_maplines=16)
+        mapper = LocalMapper(tr, enable_ba=False)
+        m = tr.init_state().m
+        K = np.asarray(tr.K)
+        rng = np.random.default_rng(1)
+
+        # two keyframes with a sideways baseline
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, 3] = [-0.3, 0.05, 0.0]
+        # ground-truth 3D segments in front of both cameras
+        sw = np.array([[-0.5, -0.2, 3.0], [0.3, 0.4, 2.5], [0.0, -0.5, 4.0]],
+                      np.float32)
+        ew = sw + np.array([[0.8, 0.3, 0.5], [-0.5, 0.2, 0.8], [0.6, 0.9, -0.4]],
+                           np.float32)
+        descs = rng.integers(0, 256, (3, 32)).astype(np.uint8)
+
+        def fill_kf(mm, kf, T):
+            mm = mm._replace(
+                kf_pose=mm.kf_pose.at[kf].set(jnp.asarray(T)),
+                kf_valid=mm.kf_valid.at[kf].set(True),
+                kf_frame_id=mm.kf_frame_id.at[kf].set(kf),
+            )
+            for q in range(3):
+                ps = T[:3, :3] @ sw[q] + T[:3, 3]
+                pe = T[:3, :3] @ ew[q] + T[:3, 3]
+                us = K @ (ps / ps[2])
+                ue = K @ (pe / pe[2])
+                l = np.cross(us, ue)
+                l = (l / np.linalg.norm(l[:2])).astype(np.float32)
+                mm = mm._replace(
+                    kf_ln_obs=mm.kf_ln_obs.at[kf, q].set(jnp.asarray(l)),
+                    kf_ln_valid=mm.kf_ln_valid.at[kf, q].set(True),
+                    kf_ln_desc=mm.kf_ln_desc.at[kf, q].set(jnp.asarray(descs[q])),
+                    kf_ln_sp=mm.kf_ln_sp.at[kf, q].set(jnp.asarray(us[:2], jnp.float32)),
+                    kf_ln_ep=mm.kf_ln_ep.at[kf, q].set(jnp.asarray(ue[:2], jnp.float32)),
+                )
+            return mm
+
+        m = fill_kf(m, 0, T0)
+        m = fill_kf(m, 1, T1)
+        # make the two KFs covisible: shared point observations
+        pts = rng.normal(0, 0.5, (40, 3)).astype(np.float32) + [0, 0, 3]
+        m = m._replace(
+            pt_pos=m.pt_pos.at[:40].set(jnp.asarray(pts)),
+            pt_valid=m.pt_valid.at[:40].set(True),
+            kf_lm_idx=m.kf_lm_idx.at[0, :40].set(jnp.arange(40))
+            .at[1, :40].set(jnp.arange(40)),
+            kf_feat_valid=m.kf_feat_valid.at[0, :40].set(True)
+            .at[1, :40].set(True),
+        )
+        from plslam_tpu.slammap.state import refresh_counts
+
+        m = refresh_counts(m)
+        m2 = mapper._triangulate_lines(m, jnp.int32(1))
+        n_new = int(m2.n_ln)
+        assert n_new >= 2, n_new
+        # triangulated endpoints land on the ground-truth segments
+        got_sw = np.asarray(m2.ln_sw[:n_new])
+        got_ew = np.asarray(m2.ln_ew[:n_new])
+        for q in range(n_new):
+            ridx = int(np.asarray(m2.kf_ln_idx[1]).tolist().index(q))
+            np.testing.assert_allclose(got_sw[q], sw[ridx], atol=0.02)
+            np.testing.assert_allclose(got_ew[q], ew[ridx], atol=0.02)

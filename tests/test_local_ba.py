@@ -221,3 +221,89 @@ class TestLineBA:
         assert int(m_opt.kf_ln_idx[k, 0]) == -1  # erased as outlier
         # healthy observations survive
         assert int(np.asarray(m_opt.kf_ln_idx[k] >= 0).sum()) >= 4
+
+
+class TestGlobalBA:
+    """global_mode=True: GlobalBundleAdjustment over every valid keyframe
+    (src/Optimizer.cc ~60) — 200+ KFs, dense Schur on the whole map."""
+
+    def test_converges_over_200_kfs(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from plslam_tpu.io.synthetic import SyntheticSequence
+        from plslam_tpu.pipeline.tracking import Tracker
+        from plslam_tpu.slammap.state import refresh_counts
+        from plslam_tpu.solvers.local_ba import LocalBA
+
+        rng = np.random.default_rng(11)
+        n_kf, n_pts, n_feat = 208, 1200, 48
+        seq = SyntheticSequence(n_frames=2, height=240, width=320)
+        settings = dataclasses.replace(seq.settings, n_features=n_feat)
+        tr = Tracker(settings, max_kf=n_kf, max_pts=2048, max_feat=n_feat,
+                     max_lines=4, max_maplines=8)
+        K = np.asarray(tr.K)
+        m = tr.init_state().m
+
+        # ground truth: camera ring around a point cloud
+        pts = rng.normal(0, 1.0, (n_pts, 3)).astype(np.float32) + [0, 0, 5]
+        poses = np.tile(np.eye(4, dtype=np.float32), (n_kf, 1, 1))
+        kf_uv = np.zeros((n_kf, n_feat, 3), np.float32)
+        kf_lm = np.full((n_kf, n_feat), -1, np.int32)
+        kf_ok = np.zeros((n_kf, n_feat), bool)
+        for i in range(n_kf):
+            th = 0.002 * i
+            c, s = np.cos(th), np.sin(th)
+            poses[i, :3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+            poses[i, :3, 3] = [0.01 * i, 0.002 * i, 0.0]
+            pc = pts @ poses[i, :3, :3].T + poses[i, :3, 3]
+            uv = (pc / pc[:, 2:]) @ K.T
+            vis = np.where(
+                (pc[:, 2] > 0.5) & (uv[:, 0] > 5) & (uv[:, 0] < 315)
+                & (uv[:, 1] > 5) & (uv[:, 1] < 235)
+            )[0]
+            sel = rng.choice(vis, size=min(n_feat, len(vis)), replace=False)
+            for f, p in enumerate(sel):
+                kf_uv[i, f] = [uv[p, 0], uv[p, 1], -1.0]  # mono obs
+                kf_lm[i, f] = p
+                kf_ok[i, f] = True
+        m = m._replace(
+            kf_pose=jnp.asarray(poses), kf_valid=jnp.ones(n_kf, bool),
+            kf_frame_id=jnp.arange(n_kf, dtype=jnp.int32),
+            kf_uv=jnp.asarray(kf_uv), kf_lm_idx=jnp.asarray(kf_lm),
+            kf_feat_valid=jnp.asarray(kf_ok),
+            pt_pos=m.pt_pos.at[:n_pts].set(jnp.asarray(pts)),
+            pt_valid=m.pt_valid.at[:n_pts].set(True),
+        )
+        m = refresh_counts(m)
+
+        # perturb everything except KF 0 (gauge)
+        poses_p = poses.copy()
+        poses_p[1:, :3, 3] += rng.normal(0, 0.02, (n_kf - 1, 3))
+        pts_p = pts + rng.normal(0, 0.02, pts.shape).astype(np.float32)
+        m_pert = m._replace(
+            kf_pose=jnp.asarray(poses_p),
+            pt_pos=m.pt_pos.at[:n_pts].set(jnp.asarray(pts_p)),
+        )
+
+        def mean_reproj(mm):
+            tot, cnt = 0.0, 0
+            P = np.asarray(mm.kf_pose)
+            X = np.asarray(mm.pt_pos)
+            for i in range(0, n_kf, 16):
+                sel = kf_lm[i][kf_ok[i]]
+                pc = X[sel] @ P[i, :3, :3].T + P[i, :3, 3]
+                uv = (pc / pc[:, 2:]) @ K.T
+                tot += np.abs(uv[:, :2] - kf_uv[i][kf_ok[i]][:, :2]).sum()
+                cnt += len(sel) * 2
+            return tot / cnt
+
+        gba = LocalBA(tr, global_mode=True, iters1=10, iters2=10)
+        m_opt = gba.run(m_pert, jnp.int32(n_kf - 1))
+        before, after = mean_reproj(m_pert), mean_reproj(m_opt)
+        assert after < before * 0.1, (before, after)
+        # gauge held
+        np.testing.assert_array_equal(
+            np.asarray(m_opt.kf_pose[0]), np.asarray(m_pert.kf_pose[0])
+        )
