@@ -62,11 +62,20 @@ class SyntheticSequence:
         motion_scale: float = 1.0,
         fps: float = 30.0,
         trajectory: str = "xyz",
+        depth_noise: float = 0.0,
     ):
         self.n_frames = n_frames
         self.height, self.width = height, width
         self.fps = fps
         self.trajectory = trajectory  # "xyz" (fr1_xyz-style) | "loop"
+        # depth_noise: sigma of a deterministic per-frame low-frequency
+        # multiplicative depth error field (Kinect-style calibration warp).
+        # Gives the odometry a realistic random-walk drift so loop-closure
+        # fixtures accumulate REAL error on the excursion (with exact depth
+        # the synthetic odometry is so good that a revisit re-fuses the old
+        # landmarks and the map reconnects without any loop closure).
+        self.depth_noise = depth_noise
+        self.seed = seed
         rng = np.random.default_rng(seed)
         self.settings = Settings(
             fx=520.0, fy=520.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
@@ -95,21 +104,21 @@ class SyntheticSequence:
         t = i / self.fps
         s = self.motion_scale
         if self.trajectory == "loop":
-            # lateral circuit along the wall: out to 2*R in x and back to the
-            # starting view, with gentle y/yaw motion — drift accumulates on
-            # the excursion, the final ~25% of frames revisit the first ones
-            # (loop-closure e2e fixture; the dwell gives the keyframe policy
-            # time to fire inside the revisited region)
+            # circular circuit in the wall-parallel (x, y) plane, camera
+            # always facing the wall: the viewed ring on the wall is WIDER
+            # than the field of view, so mid-circuit frames share no content
+            # with the start — closure is abrupt at the wrap, like a corridor
+            # loop (an out-and-back path would re-observe mapped content
+            # continuously and reconnect through tracking, never needing a
+            # loop closure). Final ~25% of frames dwell at the start pose so
+            # the keyframe policy fires inside the revisited region.
             period = max(int(0.75 * self.n_frames), 2)
             ph = 2.0 * np.pi * min(i, period) / period
-            R_loop = 1.2 * s
-            tx = R_loop * (1.0 - np.cos(ph))
-            ty = 0.12 * s * np.sin(2.0 * ph)
-            tz = 0.05 * s * np.sin(ph)
-            yaw = 0.05 * s * np.sin(ph)
-            cy_, sy = np.cos(yaw), np.sin(yaw)
+            R_loop = 1.6 * s
+            tx = R_loop * np.sin(ph)
+            ty = R_loop * (1.0 - np.cos(ph))
+            tz = 0.05 * s * np.sin(3.0 * ph)
             T = np.eye(4)
-            T[:3, :3] = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
             T[:3, 3] = [tx, ty, tz]
             return T
         tx = 0.25 * s * np.sin(0.9 * t)
@@ -159,6 +168,14 @@ class SyntheticSequence:
         t10 = self.tex[y0 + 1, x0]
         t11 = self.tex[y0 + 1, x0 + 1]
         gray = (1 - ay) * ((1 - ax) * t00 + ax * t01) + ay * ((1 - ax) * t10 + ax * t11)
+        if self.depth_noise > 0:
+            nrng = np.random.default_rng((self.seed + 1) * 100003 + i)
+            cell = 40
+            H, W = depth.shape
+            field = nrng.normal(0.0, self.depth_noise,
+                                (H // cell + 1, W // cell + 1))
+            field = np.kron(field, np.ones((cell, cell)))[:H, :W]
+            depth = depth * (1.0 + field)
         return gray.astype(np.float32), depth.astype(np.float32), self.timestamp(i)
 
     def gt_trajectory(self):

@@ -50,7 +50,10 @@ class LoopCloser:
         self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
         self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
         self._loop_edges: list[tuple[int, int]] = []  # accepted loop edges
-        self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
+        # monotonic count of processed keyframes (KF slots are recycled, so
+        # slot indices cannot express "10 keyframes since the last loop")
+        self._kf_counter = 0
+        self.last_loop_kfn = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
 
     def reset(self):
@@ -60,7 +63,8 @@ class LoopCloser:
         self.kf_bow[:] = 0.0
         self._groups = []
         self._loop_edges = []
-        self.last_loop_kf = -C.LOOP_MIN_KFS_SINCE_LAST
+        self._kf_counter = 0
+        self.last_loop_kfn = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
 
     # ------------------------------------------------------------ jit pieces
@@ -206,12 +210,18 @@ class LoopCloser:
         return 1.0 - 0.5 * np.abs(kw - q[None]).sum(-1)
 
     def detect(self, m: MapState, k: int):
-        """-> candidate KF id or None (LoopClosing::DetectLoop ~80)."""
+        """-> list of enough-consistent candidate KF ids, best score first
+        (LoopClosing::DetectLoop ~80 — the reference keeps ALL candidates
+        whose covisibility group stayed consistent over 3 consecutive KFs in
+        mvpEnoughConsistentCandidates and lets ComputeSim3 try each; a
+        single-best pick lets one long-lived false group shadow the true
+        revisit)."""
         bow = np.asarray(self._bow_of_kf(m.kf_desc[k], m.kf_feat_valid[k]))
         self.kf_bow[k] = bow
-        if k - self.last_loop_kf < C.LOOP_MIN_KFS_SINCE_LAST:
+        self._kf_counter += 1
+        if self._kf_counter - self.last_loop_kfn < C.LOOP_MIN_KFS_SINCE_LAST:
             self._groups = []
-            return None
+            return []
         covis = self._covis_row(m, k)
         neighbours = np.where(covis >= C.COVIS_TH)[0]
         scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
@@ -232,13 +242,13 @@ class LoopCloser:
         common = np.where(cand_mask, common, 0.0)
         if common.max() <= 0:
             self._groups = []
-            return None
+            return []
         cand_mask &= common > 0.8 * common.max()
         cand_mask &= scores >= max(min_score, 1e-3)
         cands = np.where(cand_mask)[0]
         if len(cands) == 0:
             self._groups = []
-            return None
+            return []
 
         cov_np = np.asarray(covisibility(m))
 
@@ -259,7 +269,7 @@ class LoopCloser:
 
         # covisibility-consistency over consecutive keyframes (~3 groups)
         new_groups = []
-        best = None
+        enough: list[int] = []
         for c in survivors:
             group = set(np.where(cov_np[c] >= C.COVIS_TH)[0].tolist()) | {int(c)}
             consistency = 1
@@ -268,10 +278,9 @@ class LoopCloser:
                     consistency = max(consistency, n_prev + 1)
             new_groups.append((group, consistency))
             if consistency >= C.LOOP_CONSISTENT_GROUPS:
-                if best is None or scores[c] > scores[best]:
-                    best = int(c)
+                enough.append(int(c))
         self._groups = new_groups
-        return best
+        return sorted(enough, key=lambda c: -scores[c])[:5]
 
     # ------------------------------------------------------------ correction
     def close_loop(self, state, k: int, cand: int):
@@ -420,7 +429,7 @@ class LoopCloser:
             ),
             vel_ok=jnp.bool_(False),
         )
-        self.last_loop_kf = k
+        self.last_loop_kfn = self._kf_counter
         self.n_loops_closed += 1
         self._loop_edges.append((int(k), int(cand)))
 
@@ -452,11 +461,14 @@ class LoopCloser:
         return Sm_R, Sm_t, Sm_s
 
     def process(self, state, kf_id: int):
-        """Host entry point after each keyframe insertion."""
-        cand = self.detect(state.m, kf_id)
-        if cand is None:
-            return state, False
-        return self.close_loop(state, kf_id, cand)
+        """Host entry point after each keyframe insertion. Tries every
+        enough-consistent candidate (best BoW score first) until one closes —
+        LoopClosing::ComputeSim3 iterates mvpEnoughConsistentCandidates."""
+        for cand in self.detect(state.m, kf_id):
+            state, closed = self.close_loop(state, kf_id, cand)
+            if closed:
+                return state, True
+        return state, False
 
     # ---------------------------------------------------------- relocalization
     def relocalize(self, state, frame):

@@ -399,15 +399,17 @@ class LocalBA:
             Hpp = jnp.zeros((Pt + 1, 3, 3)).at[drop.reshape(-1)].add(hpp_e)
             bp_e = -jnp.sum(wf[:, None, None] * Jpf * rf[:, :, None], axis=1)  # [E, 3]
             bp = jnp.zeros((Pt + 1, 3)).at[drop.reshape(-1)].add(bp_e)
-            # Hcp: [W, Pt, 6, 3] scattered over landmark slots per window row
+            # camera-landmark coupling stays in EDGE-FACTOR form: one [6,3]
+            # block per observation edge, scattered into the Schur product
+            # lazily inside solve(). A dense Hcp [W, Pt, 6, 3] would be
+            # ~755 MB per live copy in global mode (W=256, Pt=41k) and OOMs
+            # the chip; the edge list is 19 MB.
             hcp_e = jnp.sum(
                 (w[:W][..., None, None, None] * Jc[:W][..., :, :, None])
                 * Jp[:W][..., :, None, :],
                 axis=2,
             )  # [W, F, 6, 3]
-            Hcp = jnp.zeros((W, Pt + 1, 6, 3)).at[
-                jnp.arange(W)[:, None], drop[:W]
-            ].add(hcp_e)
+            edge_factors = [(hcp_e, drop[:W])]
 
             # --- line endpoint edges (two scalar edges per observation) ---
             e1, e2, wl, chi2_ln, ok_ln, cost_ln = self._line_edge_terms(
@@ -433,42 +435,112 @@ class LocalBA:
                     * Jcl[:W][..., :, None]
                     * Jpl[:W][..., None, :]
                 )  # [W, L, 6, 3]
-                Hcp = Hcp.at[jnp.arange(W)[:, None], dropl[:W]].add(hcp_l)
+                edge_factors.append((hcp_l, dropl[:W]))
 
-            Hpp, bp, Hcp = Hpp[:Pt], bp[:Pt], Hcp[:, :Pt]
-            return (Hcc, bc, Hpp, bp, Hcp, cost + cost_ln,
+            Hpp, bp = Hpp[:Pt], bp[:Pt]
+            return (Hcc, bc, Hpp, bp, edge_factors, cost + cost_ln,
                     chi2, ok, chi2_ln, ok_ln)
 
         def cost_only(poses, pos_all, edge_active, ln_edge_active, robust):
             *_, cost, _, _, _, _ = build(poses, pos_all, edge_active, ln_edge_active, robust)
             return cost
 
-        def solve(Hcc, bc, Hpp, bp, Hcp, lam):
+        def solve(Hcc, bc, Hpp, bp, edge_factors, lam):
+            """Schur-complement solve from the per-edge factor lists.
+
+            S = Hcc_diag - M M^T with M[w] = [.., Hcp[w,p] L_p, ..] where
+            L_p chol(Hpp_d^-1): algebraically identical to the dense
+            -Hcp Hpp^-1 Hcp^T (scatter-add into M sums the per-edge [6,3]
+            blocks BEFORE the product), but the only [W x landmark]-sized
+            buffer is M itself — one buffer instead of the dense Hcp + A
+            pair, which OOMs in global mode."""
             I3 = jnp.eye(3)
             I6 = jnp.eye(6)
             Hpp_d = Hpp + lam * I3[None]
-            # guard empty landmark blocks
-            det_ok = jnp.linalg.det(Hpp_d) > 1e-12
-            Hpp_inv = jnp.linalg.inv(
-                jnp.where(det_ok[:, None, None], Hpp_d, I3[None])
+            det_ok = jnp.linalg.det(Hpp_d) > 1e-12  # guard empty blocks
+            G = jnp.linalg.inv(jnp.where(det_ok[:, None, None], Hpp_d, I3[None]))
+            G = jnp.where(det_ok[:, None, None], G, 0.0)  # [Pt,3,3] PSD
+
+            # closed-form batched 3x3 Cholesky of G (elementwise; a batched
+            # linalg.cholesky over 41k tiny blocks lowers poorly on TPU)
+            eps = 1e-20
+            g11, g21, g31 = G[:, 0, 0], G[:, 1, 0], G[:, 2, 0]
+            g22, g32, g33 = G[:, 1, 1], G[:, 2, 1], G[:, 2, 2]
+            l11 = jnp.sqrt(jnp.clip(g11, 0.0))
+            i11 = jnp.where(l11 > eps, 1.0 / jnp.where(l11 > eps, l11, 1.0), 0.0)
+            l21 = g21 * i11
+            l31 = g31 * i11
+            l22 = jnp.sqrt(jnp.clip(g22 - l21 * l21, 0.0))
+            i22 = jnp.where(l22 > eps, 1.0 / jnp.where(l22 > eps, l22, 1.0), 0.0)
+            l32 = (g32 - l31 * l21) * i22
+            l33 = jnp.sqrt(jnp.clip(g33 - l31 * l31 - l32 * l32, 0.0))
+            zero = jnp.zeros_like(l11)
+            L = jnp.stack(
+                [
+                    jnp.stack([l11, zero, zero], -1),
+                    jnp.stack([l21, l22, zero], -1),
+                    jnp.stack([l31, l32, l33], -1),
+                ],
+                -2,
+            )  # [Pt, 3, 3] lower-triangular, L L^T = G
+
+            # M layout [W, 6, (Pt+1)*3]: the landmark*xyz axis is FLAT and
+            # minor so the tiled layout pads only the 6-sublane dim (a
+            # [W, 6, Pt, 3] block form forces a 21x-padded transpose copy of
+            # the Pt-major axis at the reshape — 15 GB in global mode).
+            M = jnp.zeros((W, 6, (Pt + 1) * 3))
+            g_bp = jnp.sum(G * bp[:, None, :], -1)  # [Pt, 3] = G @ bp
+            rhs_acc = bc
+            for B, drop in edge_factors:  # B [W,N,6,3], drop [W,N]
+                Le = L[jnp.clip(drop, 0, Pt - 1)]  # [W,N,3,3]
+                # T = B @ L_e, elementwise expansion (batched tiny matmuls
+                # are catastrophic on TPU)
+                T = jnp.stack(
+                    [
+                        B[..., 0] * Le[..., None, 0, j]
+                        + B[..., 1] * Le[..., None, 1, j]
+                        + B[..., 2] * Le[..., None, 2, j]
+                        for j in range(3)
+                    ],
+                    -1,
+                )  # [W,N,6,3]
+                N = drop.shape[1]
+                wIdx = jnp.broadcast_to(
+                    jnp.arange(W)[:, None, None], (W, N, 3)
+                )
+                colIdx = drop[:, :, None] * 3 + jnp.arange(3)[None, None, :]
+                # update slot [W,N,3] x middle slice 6 -> [W,N,3,6]
+                M = M.at[wIdx, :, colIdx].add(jnp.swapaxes(T, -1, -2))
+                # reduced rhs: bc - sum_e B_e (G_p bp_p)
+                ge = g_bp[jnp.clip(drop, 0, Pt - 1)] * (drop < Pt)[..., None]
+                rhs_acc = rhs_acc - jnp.sum(
+                    jnp.sum(B * ge[:, :, None, :], -1), 1
+                )
+            # dropped edges (slot -1) scattered into the dummy landmark
+            # column — zero it before the product (L there is 0 for point
+            # edges but line edges can reach it with nonzero weight)
+            M = M.at[:, :, Pt * 3:].set(0.0)
+            M2 = M.reshape(W * 6, (Pt + 1) * 3)
+            S = -jax.lax.dot_general(
+                M2, M2, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
             )
-            Hpp_inv = jnp.where(det_ok[:, None, None], Hpp_inv, 0.0)
-            A = jnp.einsum("wpij,pjk->wpik", Hcp, Hpp_inv)  # [W,Pl,6,3]
-            S_blocks = -jnp.einsum("wpik,vpjk->wivj", A, Hcp)  # [W,6,W,6]
-            S = S_blocks.reshape(W * 6, W * 6)
-            # add block-diagonal Hcc + damping
             idx = jnp.arange(W * 6).reshape(W, 6)
             S = S.at[idx[:, :, None], idx[:, None, :]].add(Hcc + lam * I6[None])
-            rhs = (bc - jnp.einsum("wpik,pk->wi", A, bp)).reshape(-1)
-            dc = jnp.linalg.solve(S + 1e-8 * jnp.eye(W * 6), rhs).reshape(W, 6)
-            # back-substitute landmarks: dp = Hpp^-1 (bp - Hcp^T dc)
-            dp = jnp.einsum(
-                "pij,pj->pi", Hpp_inv, bp - jnp.einsum("wpij,wi->pj", Hcp, dc)
-            )
+            dc = jnp.linalg.solve(
+                S + 1e-8 * jnp.eye(W * 6), rhs_acc.reshape(-1)
+            ).reshape(W, 6)
+            # back-substitute landmarks: dp = G (bp - sum_e B_e^T dc_w)
+            z = jnp.zeros((Pt + 1, 3))
+            for B, drop in edge_factors:
+                s_e = jnp.sum(B * dc[:, None, :, None], 2)  # [W,N,3]
+                z = z.at[drop.reshape(-1)].add(s_e.reshape(-1, 3), mode="drop")
+            dp = jnp.sum(G * (bp - z[:Pt])[:, None, :], -1)
             return dc, dp
 
         def lm_phase(poses, pos_all, edge_active, ln_edge_active, robust, iters):
-            Hcc, bc, Hpp, bp, Hcp, cost0, *_ = build(
+            Hcc, bc, Hpp, bp, _, cost0, *_ = build(
                 poses, pos_all, edge_active, ln_edge_active, robust
             )
             maxdiag = jnp.maximum(
@@ -479,10 +551,10 @@ class LocalBA:
 
             def body(_, carry):
                 poses, pos_all, lam, nu, cost = carry
-                Hcc, bc, Hpp, bp, Hcp, *_ = build(
+                Hcc, bc, Hpp, bp, edge_factors, *_ = build(
                     poses, pos_all, edge_active, ln_edge_active, robust
                 )
-                dc, dp = solve(Hcc, bc, Hpp, bp, Hcp, lam)
+                dc, dp = solve(Hcc, bc, Hpp, bp, edge_factors, lam)
                 d_full = jnp.where(movable[:, None], dc, 0.0)
                 poses_new_w = se3.compose(se3.exp(d_full), poses[:W])
                 poses_new = jnp.concatenate([poses_new_w, poses[W:]], 0)
