@@ -85,12 +85,29 @@ class SyntheticSequence:
         self.tex = _texture(rng, low_texture=low_texture)
         self.tex_scale = 220.0  # pixels per world meter on the planes
         self.z_bg = 3.4
-        # foreground square patches (world x, y, half-size, z)
-        self.patches = [
-            (rng.uniform(-1.4, 1.4), rng.uniform(-1.0, 1.0),
-             rng.uniform(0.2, 0.5), rng.uniform(1.5, 3.0))
-            for _ in range(14)
-        ]
+        # foreground square patches (world x, y, half-size, z). The loop
+        # circuit sweeps the whole ring (x in ±R+fov, y in [0, 2R]) — close
+        # structure must exist along ALL of it or the far-only arcs (wall
+        # beyond ThDepth*baseline) drift unboundedly.
+        # each patch samples its OWN texture region (offset into the tiled
+        # texture): without the offset a patch is a floating COPY of the wall
+        # area at the same (x, y) — duplicated texture that produces exact
+        # descriptor collisions between different physical points (false
+        # loop-closure correspondences no real scene would have)
+        if trajectory == "loop":
+            self.patches = [
+                (rng.uniform(-2.4, 2.4), rng.uniform(-0.8, 4.0),
+                 rng.uniform(0.2, 0.5), rng.uniform(1.5, 3.0),
+                 rng.uniform(4.0, 8.0), rng.uniform(4.0, 8.0))
+                for _ in range(34)
+            ]
+        else:
+            self.patches = [
+                (rng.uniform(-1.4, 1.4), rng.uniform(-1.0, 1.0),
+                 rng.uniform(0.2, 0.5), rng.uniform(1.5, 3.0),
+                 rng.uniform(4.0, 8.0), rng.uniform(4.0, 8.0))
+                for _ in range(14)
+            ]
         self.motion_scale = motion_scale
         K, _ = self.settings.intrinsics()
         self.K = K
@@ -148,14 +165,14 @@ class SyntheticSequence:
         wx = c[0] + t_bg * d_world[..., 0]
         wy = c[1] + t_bg * d_world[..., 1]
         # foreground patches (nearer planes override)
-        for px, py, half, pz in self.patches:
+        for px, py, half, pz, ox, oy in self.patches:
             t_p = (pz - c[2]) / d_world[..., 2]
             x = c[0] + t_p * d_world[..., 0]
             y = c[1] + t_p * d_world[..., 1]
             hit = (np.abs(x - px) < half) & (np.abs(y - py) < half) & (t_p > 0.1) & (t_p < depth)
             depth = np.where(hit, t_p, depth)
-            wx = np.where(hit, x, wx)
-            wy = np.where(hit, y, wy)
+            wx = np.where(hit, x + ox, wx)
+            wy = np.where(hit, y + oy, wy)
         # sample texture bilinearly at world (x, y)
         size = self.tex.shape[0]
         fx_ = (wx * self.tex_scale) % (size - 1)

@@ -112,6 +112,11 @@ class System:
         new_kf = bool(out.new_kf)
         if new_kf:
             self._kf_timestamps[int(out.kf_id)] = float(timestamp)
+        prev_kf_valid = (
+            np.asarray(self.state.m.kf_valid)
+            if new_kf and not self.localization_only
+            else None
+        )
         if new_kf and self._mapper is not None and not self.localization_only:
             self.state = self.state._replace(
                 m=self._mapper.process(self.state.m, int(out.kf_id))
@@ -120,6 +125,8 @@ class System:
             self.state, closed = self._loop.process(self.state, int(out.kf_id))
             if closed:
                 self.n_loops_closed = self._loop.n_loops_closed
+        if prev_kf_valid is not None:
+            self._rebase_culled_anchors(prev_kf_valid)
         if self._loop is not None and int(self.state.status) == 2:  # LOST
             self.state, recovered = self._loop.relocalize(self.state, frame)
 
@@ -198,6 +205,32 @@ class System:
         from plslam_tpu.io.snapshot import load_state
 
         self.state = load_state(path, self.state)
+
+    def _rebase_culled_anchors(self, prev_kf_valid: np.ndarray):
+        """Re-anchor replay poses of frames whose reference KF was just
+        culled (SaveTrajectoryTUM walks pKF->GetParent() for bad KFs; with
+        recycled slots the rebase must happen EAGERLY, before the slot is
+        reused by an unrelated keyframe — and a culled KF's frozen pose
+        would also never receive loop corrections)."""
+        m = self.state.m
+        cur_valid = np.asarray(m.kf_valid)
+        culled = prev_kf_valid & ~cur_valid
+        if not culled.any():
+            return
+        poses = np.asarray(m.kf_pose, np.float64)
+        fids = np.asarray(m.kf_frame_id)
+        valid_slots = np.where(cur_valid)[0]
+        if len(valid_slots) == 0:
+            return
+        ref_arr = np.asarray(self._ref_ids)
+        for j in np.where(culled)[0]:
+            # nearest surviving keyframe in time; the culled slot still
+            # holds j's (BA-consistent) pose at this point
+            p = int(valid_slots[np.argmin(np.abs(fids[valid_slots] - fids[j]))])
+            M = poses[j] @ np.linalg.inv(poses[p])  # Tcw_j * Twc_p
+            for i in np.where(ref_arr == j)[0]:
+                self._rel_poses[i] = self._rel_poses[i] @ M
+                self._ref_ids[i] = p
 
     def save_trajectory_tum(self, path: str | Path):
         traj_io.save_trajectory_tum(

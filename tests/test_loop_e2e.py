@@ -1,0 +1,72 @@
+"""Organic loop-closure end-to-end (driver config 4 analogue; SURVEY.md §4.4
+DetectLoop -> ComputeSim3 -> CorrectLoop chain firing on its own).
+
+Fixture: the synthetic "loop" trajectory — a circular circuit in the
+wall-parallel plane whose viewed ring is wider than the FOV (closure is
+abrupt at the wrap) — with per-frame low-frequency depth-noise fields that
+give the odometry a realistic random-walk drift. With exact depth the
+synthetic odometry is good enough that a revisit re-fuses the old landmarks
+and the map reconnects without any loop closure ever firing.
+
+This is the most expensive test in the suite (two full 190-frame runs); it
+is the only end-to-end evidence that detection gating, Sim3 solve,
+OptimizeSim3, essential-graph correction, SearchAndFuse and global BA
+compose correctly.
+"""
+
+import numpy as np
+import pytest
+
+from plslam_tpu.eval import ate_rmse
+from plslam_tpu.io.synthetic import SyntheticSequence
+from plslam_tpu.io.trajectory import load_trajectory_tum
+from plslam_tpu.system import System
+
+N_FRAMES = 190
+
+
+def _run(tmp_path, use_loop: bool):
+    seq = SyntheticSequence(
+        n_frames=N_FRAMES, height=240, width=320, seed=0,
+        trajectory="loop", fps=10.0, depth_noise=0.03,
+    )
+    slam = System(seq.settings, use_loop_closing=use_loop)
+    for i in range(seq.n_frames):
+        gray, depth, t = seq.frame(i)
+        slam.track_rgbd(gray, depth, t)
+    out = tmp_path / f"traj_{use_loop}.txt"
+    slam.save_trajectory_tum(out)
+    rmse, n = ate_rmse(load_trajectory_tum(out), seq.gt_trajectory())
+    return slam, rmse, n
+
+
+@pytest.fixture(scope="module")
+def loop_runs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("loop_e2e")
+    slam_off, ate_off, n_off = _run(tmp, use_loop=False)
+    slam_on, ate_on, n_on = _run(tmp, use_loop=True)
+    print(f"\n[loop_e2e] off: ate={ate_off*100:.1f}cm n={n_off} | "
+          f"on: ate={ate_on*100:.1f}cm n={n_on} loops={slam_on.n_loops_closed}")
+    return (slam_off, ate_off, n_off), (slam_on, ate_on, n_on)
+
+
+class TestOrganicLoopClosure:
+    def test_loop_fires(self, loop_runs):
+        (_, _, _), (slam_on, _, _) = loop_runs
+        assert slam_on.n_loops_closed >= 1
+
+    def test_all_frames_tracked(self, loop_runs):
+        (_, _, n_off), (_, _, n_on) = loop_runs
+        assert n_off == N_FRAMES and n_on == N_FRAMES
+
+    def test_drift_accumulates_without_loop(self, loop_runs):
+        (_, ate_off, _), _ = loop_runs
+        # the fixture must pose a REAL loop problem: the no-loop drift has
+        # to be large, or the closure assertions below are vacuous
+        assert ate_off > 0.10, f"no-loop ATE only {ate_off * 100:.1f} cm"
+
+    def test_loop_reduces_ate(self, loop_runs):
+        (_, ate_off, _), (_, ate_on, _) = loop_runs
+        assert ate_on < 0.5 * ate_off, (
+            f"loop closure: {ate_off * 100:.1f} -> {ate_on * 100:.1f} cm"
+        )
