@@ -116,7 +116,8 @@ class FrameBuilder:
     def _depth_at(self, depth, uv, valid):
         xi = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, depth.shape[1] - 1)
         yi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, depth.shape[0] - 1)
-        d = depth[yi, xi]
+        # flat 1D gather (a [N] 2D advanced-index gather lowers poorly here)
+        d = depth.reshape(-1)[yi * depth.shape[1] + xi]
         return jnp.where(valid & (d > 0) & jnp.isfinite(d), d, 0.0)
 
     def _build(self, gray, depth, ln_sp_raw, ln_ep_raw, ln_valid) -> FrameData:

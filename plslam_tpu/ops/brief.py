@@ -65,11 +65,15 @@ def steered_brief(patches, angles):
         return rx, ry
 
     K = patches.shape[0]
-    flat = patches.reshape(K, -1)
+    flat = patches.reshape(-1)  # one GLOBAL flat gather: a per-row
+    # take_along_axis here lowered to a ~4.5 ms TPU kernel (measured via
+    # the device trace — 60% of the whole frame build); the flat form
+    # lowers to a plain 1D gather
+    row0 = jnp.arange(K, dtype=jnp.int32)[:, None] * (PATCH_D * PATCH_D)
 
     def sample(rx, ry):
-        idx = (ry + PATCH_R) * PATCH_D + (rx + PATCH_R)
-        return jnp.take_along_axis(flat, idx, axis=1)  # [K, 256]
+        idx = row0 + (ry + PATCH_R) * PATCH_D + (rx + PATCH_R)
+        return flat[idx]  # [K, 256]
 
     ia = sample(*rotate(pa))
     ib = sample(*rotate(pb))

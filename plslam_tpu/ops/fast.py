@@ -65,12 +65,14 @@ def fast_scores(img, threshold):
 def nms3(score):
     """3x3 non-max suppression: keep strict local maxima (ties broken toward
     the top-left via epsilon on raster order is unnecessary — float SAD ties
-    are vanishingly rare; equal neighbors suppress each other)."""
-    p = jnp.pad(score, 1, mode="constant", constant_values=-1.0)
-    H, W = score.shape
+    are vanishingly rare; equal neighbors suppress each other). Works on
+    [..., H, W] (leading batch dims allowed)."""
+    pad = [(0, 0)] * (score.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(score, pad, mode="constant", constant_values=-1.0)
+    H, W = score.shape[-2], score.shape[-1]
     neigh = jnp.stack(
         [
-            p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+            p[..., 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
             for dy in (-1, 0, 1)
             for dx in (-1, 0, 1)
             if not (dy == 0 and dx == 0)
@@ -78,6 +80,31 @@ def nms3(score):
         0,
     )
     return jnp.where(score > jnp.max(neigh, 0), score, 0.0)
+
+
+def fallback_nms_border_stack(s_hi, s_lo, level_hw, cell: int, border: int):
+    """Batched tail of fast_with_fallback for a [L, H, W] pyramid stack:
+    per-cell threshold fallback, 3x3 NMS, and PER-LEVEL border masking
+    (each level's true extent level_hw[l] = (h, w) is smaller than the
+    shared plane; everything beyond it is edge-replicated filler)."""
+    L, H, W = s_hi.shape
+    ch, cw = -(-H // cell), -(-W // cell)
+    pad_h, pad_w = ch * cell - H, cw * cell - W
+    hi_p = jnp.pad(s_hi, ((0, 0), (0, pad_h), (0, pad_w)))
+    cell_has = (
+        hi_p.reshape(L, ch, cell, cw, cell).max(axis=(2, 4)) > 0.0
+    )  # bool[L, ch, cw]
+    full = jnp.repeat(jnp.repeat(cell_has, cell, 1), cell, 2)[:, :H, :W]
+    score = jnp.where(full, s_hi, s_lo)
+    score = nms3(score)
+    hs = jnp.asarray([h for h, _ in level_hw])[:, None, None]
+    ws = jnp.asarray([w for _, w in level_hw])[:, None, None]
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    inside = (
+        (ys >= border) & (ys < hs - border) & (xs >= border) & (xs < ws - border)
+    )
+    return jnp.where(inside, score, 0.0)
 
 
 def fast_with_fallback(img, ini_th, min_th, cell: int, border: int):

@@ -114,6 +114,106 @@ def fast_scores_pallas(img, ini_th: float, min_th: float, band_h: int = 64):
     return hi[:H, :W], lo[:H, :W]
 
 
+def _gauss7():
+    import numpy as np
+
+    r = 3
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * 2.0 * 2.0))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _band_kernel_stack(
+    img_hbm, hi_ref, lo_ref, blur_ref, band_vmem, dma_sem, *, ini_th, min_th, band_h
+):
+    """One (level, row-band) cell of the stacked-pyramid grid: FAST ring
+    scores at both thresholds AND the 7-tap Gaussian blur (the BRIEF sampling
+    image), all from one VMEM-resident band — one image read, three writes."""
+    l = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        img_hbm.at[l, pl.ds(i * band_h, band_h + 2 * _HALO), :], band_vmem, dma_sem
+    )
+    copy.start()
+    copy.wait()
+    img = band_vmem[:]
+
+    # separable Gaussian 7x7 sigma=2 (cv::GaussianBlur before BRIEF). The
+    # circular wrap of roll only pollutes rows/cols inside the discarded
+    # halo / the 3px image border (keypoints live >= 19 px inside).
+    gk = _gauss7()
+    rowb = jnp.zeros_like(img)
+    for d in range(-3, 4):
+        rowb = rowb + gk[d + 3] * _roll2(img, d, 0)
+    blur = jnp.zeros_like(img)
+    for d in range(-3, 4):
+        blur = blur + gk[d + 3] * _roll2(rowb, 0, d)
+    blur_ref[0] = blur[_HALO : _HALO + band_h, :]
+
+    nbs = [_roll2(img, dy, dx) for dy, dx in CIRCLE]
+    diffs = [nb - img for nb in nbs]
+
+    def ring_scores(th):
+        masks_b = [d > th for d in diffs]
+        masks_d = [-d > th for d in diffs]
+        score_b = jnp.zeros_like(img)
+        score_d = jnp.zeros_like(img)
+        for d, b, k in zip(diffs, masks_b, masks_d):
+            score_b = score_b + jnp.where(b, d - th, 0.0)
+            score_d = score_d + jnp.where(k, -d - th, 0.0)
+
+        def arc_any(masks):
+            acc = None
+            for s in range(16):
+                run = masks[s]
+                for k in range(1, ARC):
+                    run = run & masks[(s + k) % 16]
+                acc = run if acc is None else (acc | run)
+            return acc
+
+        is_corner = arc_any(masks_b) | arc_any(masks_d)
+        return jnp.where(is_corner, jnp.maximum(score_b, score_d), 0.0)
+
+    hi_ref[0] = ring_scores(ini_th)[_HALO : _HALO + band_h, :]
+    lo_ref[0] = ring_scores(min_th)[_HALO : _HALO + band_h, :]
+
+
+def fast_scores_pallas_stack(stack, ini_th: float, min_th: float, band_h: int = 64):
+    """[L, H, W] pyramid stack -> (s_hi, s_lo, blurred) [L, H, W], one
+    pallas call with grid (L, bands) — the batched-stack twin of
+    fast_scores_pallas, with the pre-BRIEF Gaussian blur fused in."""
+    L, H, W = stack.shape
+    Hp = -(-H // band_h) * band_h
+    Wp = -(-W // 128) * 128
+    stackp = jnp.pad(
+        stack, ((0, 0), (_HALO, Hp - H + _HALO), (0, Wp - W)), mode="edge"
+    )
+    n_bands = Hp // band_h
+    hi, lo, blur = pl.pallas_call(
+        functools.partial(
+            _band_kernel_stack,
+            ini_th=float(ini_th), min_th=float(min_th), band_h=band_h,
+        ),
+        grid=(L, n_bands),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band_h + 2 * _HALO, Wp), stack.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(stackp)
+    return hi[:, :H, :W], lo[:, :H, :W], blur[:, :H, :W]
+
+
 def fast_with_fallback_pallas(
     img, ini_th: float, min_th: float, cell: int = 32, border: int = 19, band_h: int = 64
 ):

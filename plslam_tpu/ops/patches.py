@@ -1,4 +1,9 @@
-"""Keypoint patch gathers (dynamic_slice under vmap -> one fused XLA gather)."""
+"""Keypoint patch gathers (dynamic_slice under vmap).
+
+This lowers to a sequential per-keypoint loop on the TPU runtime (~1.2 us
+per keypoint, measured via the device trace) — still the fastest known
+lowering: a row-sliced lax.gather (K*size [1, size] slices) measured 13x
+slower end-to-end, and scalar-element gathers are worse again."""
 
 from __future__ import annotations
 

@@ -56,12 +56,18 @@ def subpixel_refine(score, yx):
     H, W = score.shape
     y = jnp.clip(yx[:, 0], 1, H - 2)
     x = jnp.clip(yx[:, 1], 1, W - 2)
+    flat = score.reshape(-1)  # flat 1D gathers (2D advanced-index gathers
+    base = y * W + x  # lower poorly on this backend)
+
+    def at(off):
+        return flat[base + off]
 
     def axis_offset(sm, s0, sp):
         denom = 2.0 * s0 - sm - sp
         off = 0.5 * (sp - sm) / jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
         return jnp.clip(jnp.where(jnp.abs(denom) < 1e-6, 0.0, off), -0.5, 0.5)
 
-    oy = axis_offset(score[y - 1, x], score[y, x], score[y + 1, x])
-    ox = axis_offset(score[y, x - 1], score[y, x], score[y, x + 1])
+    s0 = at(0)
+    oy = axis_offset(at(-W), s0, at(W))
+    ox = axis_offset(at(-1), s0, at(1))
     return jnp.stack([oy, ox], -1)
