@@ -151,10 +151,18 @@ class ORBExtractor:
         score_flat = score.reshape(Lv * H, -1)
         sub = select.subpixel_refine(score_flat, yx_flat)
         D = brief.PATCH_D
-        stack_flat = stack.reshape(Lv * H, -1)
-        blur_flat = blurred.reshape(Lv * H, -1)
-        raw_patch = patches.gather_patches(stack_flat, yx_flat, D)
-        blur_patch = patches.gather_patches(blur_flat, yx_flat, D)
+        # raw + blurred planes vstacked: BOTH patches come from ONE
+        # dynamic-slice sweep (the sweep lowers to a sequential per-patch
+        # loop — one loop of 2N beats two loops of N)
+        both_flat = jnp.concatenate(
+            [stack.reshape(Lv * H, -1), blurred.reshape(Lv * H, -1)], 0
+        )
+        yx_both = jnp.concatenate(
+            [yx_flat, yx_flat + jnp.asarray([Lv * H, 0], jnp.int32)], 0
+        )
+        both_patch = patches.gather_patches(both_flat, yx_both, D)
+        N = yx_flat.shape[0]
+        raw_patch, blur_patch = both_patch[:N], both_patch[N:]
         ang = orientation.ic_angle(raw_patch)
         desc = brief.steered_brief(blur_patch, ang)
         scales = jnp.asarray(self.scales, jnp.float32)

@@ -68,15 +68,16 @@ def steered_brief(patches, angles):
     flat = patches.reshape(-1)  # one GLOBAL flat gather: a per-row
     # take_along_axis here lowered to a ~4.5 ms TPU kernel (measured via
     # the device trace — 60% of the whole frame build); the flat form
-    # lowers to a plain 1D gather
+    # lowers to a plain 1D gather, and sampling BOTH pattern halves in one
+    # gather halves the per-gather fixed cost
     row0 = jnp.arange(K, dtype=jnp.int32)[:, None] * (PATCH_D * PATCH_D)
 
-    def sample(rx, ry):
-        idx = row0 + (ry + PATCH_R) * PATCH_D + (rx + PATCH_R)
-        return flat[idx]  # [K, 256]
+    def pattern_idx(p):
+        rx, ry = rotate(p)
+        return row0 + (ry + PATCH_R) * PATCH_D + (rx + PATCH_R)
 
-    ia = sample(*rotate(pa))
-    ib = sample(*rotate(pb))
+    both = flat[jnp.concatenate([pattern_idx(pa), pattern_idx(pb)], 1)]
+    ia, ib = both[:, :N_BITS], both[:, N_BITS:]
     bits = (ia < ib).astype(jnp.uint32).reshape(K, 32, 8)
     return jnp.sum(bits * jnp.asarray(_pow2())[None, None, :], axis=-1).astype(jnp.uint8)
 
