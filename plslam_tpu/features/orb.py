@@ -151,19 +151,22 @@ class ORBExtractor:
         score_flat = score.reshape(Lv * H, -1)
         sub = select.subpixel_refine(score_flat, yx_flat)
         D = brief.PATCH_D
-        # raw + blurred planes vstacked: BOTH patches come from ONE
-        # dynamic-slice sweep (the sweep lowers to a sequential per-patch
-        # loop — one loop of 2N beats two loops of N)
-        both_flat = jnp.concatenate(
-            [stack.reshape(Lv * H, -1), blurred.reshape(Lv * H, -1)], 0
-        )
-        yx_both = jnp.concatenate(
-            [yx_flat, yx_flat + jnp.asarray([Lv * H, 0], jnp.int32)], 0
-        )
-        both_patch = patches.gather_patches(both_flat, yx_both, D)
-        N = yx_flat.shape[0]
-        raw_patch, blur_patch = both_patch[:N], both_patch[N:]
-        ang = orientation.ic_angle(raw_patch)
+        # ONLY the blurred patches are gathered (the dynamic-slice sweep
+        # lowers to a sequential per-patch loop, ~1.2 us/patch — halving the
+        # patch count halves the dominant extractor cost). IC angle is
+        # computed from the blurred patch rather than the raw level: the
+        # Gaussian blur is isotropic, so the intensity-centroid direction is
+        # preserved (equivalence vs the raw-patch oracle is tested to ~1.5
+        # deg in test_orb.py); the reference uses the raw level only because
+        # its IC pass predates its blur pass (src/ORBextractor.cc ~1050).
+        blur_flat = blurred.reshape(Lv * H, -1)
+        if jax.default_backend() == "tpu" and not os.environ.get("PLSLAM_NO_PALLAS"):
+            # VMEM-resident stack + scalar-prefetched coords: the XLA
+            # dynamic-slice sweep costs ~1.2 us/patch of HBM round-trips
+            blur_patch = patches.gather_patches_pallas(blur_flat, yx_flat, D)
+        else:
+            blur_patch = patches.gather_patches(blur_flat, yx_flat, D)
+        ang = orientation.ic_angle(blur_patch)
         desc = brief.steered_brief(blur_patch, ang)
         scales = jnp.asarray(self.scales, jnp.float32)
         uv0 = (

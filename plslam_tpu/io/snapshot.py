@@ -41,7 +41,9 @@ def load_state(path: str | Path, template):
             return type(node)(
                 **{k: rebuild(f"{prefix}{k}.", v) for k, v in node._asdict().items()}
             )
-        arr = data[prefix[:-1]]
-        return jnp.asarray(arr)
+        key = prefix[:-1]
+        if key not in data.files:  # snapshot from an older schema: keep the
+            return jnp.asarray(node)  # live template's value for new fields
+        return jnp.asarray(data[key])
 
     return rebuild("", template)

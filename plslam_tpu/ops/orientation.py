@@ -25,11 +25,16 @@ def _moment_masks(radius: int):
 
 
 def ic_angle(patches, radius: int = C.HALF_PATCH_SIZE):
-    """patches f32[K, d, d] (d = 2*radius+1 or larger, centered) -> rad f32[K]."""
+    """patches f32[K, dr, dc] -> rad f32[K].
+
+    The keypoint center sits at (dr//2, dr//2): square patches are centered,
+    and the Pallas gather's rectangular [39, 48] patches only overread to
+    the RIGHT (gather_patches_pallas), so the row-derived center holds for
+    both."""
     d = 2 * radius + 1
-    if patches.shape[-1] != d:
-        off = (patches.shape[-1] - d) // 2
-        patches = patches[:, off : off + d, off : off + d]
+    if patches.shape[-1] != d or patches.shape[-2] != d:
+        c = patches.shape[-2] // 2
+        patches = patches[:, c - radius : c + radius + 1, c - radius : c + radius + 1]
     mx, my = (jnp.asarray(a) for a in _moment_masks(radius))
     m10 = jnp.sum(patches * mx, axis=(-2, -1))
     m01 = jnp.sum(patches * my, axis=(-2, -1))

@@ -32,22 +32,22 @@ import numpy as np
 
 from plslam_tpu import constants as C
 from plslam_tpu.geometry import se3
-from plslam_tpu.loopclosing.vocab import Vocabulary, l1_score
+from plslam_tpu.loopclosing.vocab import Vocabulary
 from plslam_tpu.matching import points as match_ops
-from plslam_tpu.matching.points import match_descriptors
 from plslam_tpu.ops import brief
+from plslam_tpu.pipeline.reloc import Relocalizer
 from plslam_tpu.slammap.state import MapState, covisibility, observation_matrix
-from plslam_tpu.solvers.pose import PointObs, pose_optimization
 from plslam_tpu.solvers.pose_graph import correct_landmarks, optimize_essential_graph
 from plslam_tpu.solvers.sim3_solver import optimize_sim3, solve_sim3_ransac
 
 
-class LoopCloser:
+class LoopCloser(Relocalizer):
+    """Relocalizer (BoW database + PnP rescue) plus loop detection and
+    correction; see the module docstring for the flow."""
+
     def __init__(self, tracker, vocab: Vocabulary | None = None, enable_gba: bool = True):
-        self.tracker = tracker
-        self.vocab = vocab or Vocabulary()
+        super().__init__(tracker, vocab)
         self.enable_gba = enable_gba
-        self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
         self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
         self._loop_edges: list[tuple[int, int]] = []  # accepted loop edges
         # monotonic count of processed keyframes (KF slots are recycled, so
@@ -57,10 +57,7 @@ class LoopCloser:
         self.n_loops_closed = 0
 
     def reset(self):
-        """Clear all per-map host state (System::Reset): stale BoW rows of a
-        discarded map must not score against the new map's keyframes in
-        recycled slots."""
-        self.kf_bow[:] = 0.0
+        super().reset()
         self._groups = []
         self._loop_edges = []
         self._kf_counter = 0
@@ -68,24 +65,6 @@ class LoopCloser:
         self.n_loops_closed = 0
 
     # ------------------------------------------------------------ jit pieces
-    @functools.cached_property
-    def _bow_of_kf(self):
-        def f(desc, valid):
-            return self.vocab.bow(brief.unpack_bits_pm1(desc), valid)
-
-        return jax.jit(f)
-
-    @functools.cached_property
-    def _match_kfs(self):
-        def f(desc_a, valid_a, desc_b, valid_b):
-            return match_descriptors(
-                brief.unpack_bits_pm1(desc_a), valid_a,
-                brief.unpack_bits_pm1(desc_b), valid_b,
-                th_dist=C.TH_LOW, nn_ratio=0.75,
-            )
-
-        return jax.jit(f)
-
     @functools.cached_property
     def _sim3(self):
         return jax.jit(
@@ -174,12 +153,6 @@ class LoopCloser:
         return jax.jit(f)
 
     @functools.cached_property
-    def _pnp(self):
-        from plslam_tpu.solvers.pnp import solve_pnp_ransac
-
-        return jax.jit(solve_pnp_ransac)
-
-    @functools.cached_property
     def _essential(self):
         return jax.jit(optimize_essential_graph, static_argnames=("n_iters", "fix_scale"))
 
@@ -187,27 +160,6 @@ class LoopCloser:
     def _covis_row(self, m: MapState, k: int) -> np.ndarray:
         cov = covisibility(m)
         return np.asarray(cov[k])
-
-    def _tfidf_scores(self, bow: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
-        """DBoW2 L1 similarity with TF-IDF weighting (TemplatedVocabulary
-        uses idf-weighted BowVectors; the round-1 plain-histogram scoring had
-        no discriminative power over common words). idf is computed online
-        over the CURRENT keyframes — equivalent in effect to the reference's
-        corpus idf, and it adapts to the actual scene."""
-        rows = self.kf_bow
-        df = ((rows > 0) & kf_valid[:, None]).sum(0).astype(np.float32)
-        n_docs = max(int(kf_valid.sum()), 1)
-        idf = np.log(n_docs / (1.0 + df)) + 1.0  # smoothed, >= ~0
-        idf = np.maximum(idf, 0.0)
-
-        def norm(v):
-            w = v * idf
-            s = np.abs(w).sum(axis=-1, keepdims=True)
-            return w / np.maximum(s, 1e-9)
-
-        q = norm(bow[None])[0]
-        kw = norm(rows)
-        return 1.0 - 0.5 * np.abs(kw - q[None]).sum(-1)
 
     def detect(self, m: MapState, k: int):
         """-> list of enough-consistent candidate KF ids, best score first
@@ -406,7 +358,7 @@ class LoopCloser:
             jnp.asarray(Sm_R),
             jnp.asarray(Sm_t),
             jnp.asarray(Sm_s),
-            n_iters=C.ESSENTIAL_GRAPH_ITERS // 2,
+            n_iters=C.ESSENTIAL_GRAPH_ITERS,
         )
 
         # move landmarks and line endpoints with their reference keyframes
@@ -470,60 +422,6 @@ class LoopCloser:
                 return state, True
         return state, False
 
-    # ---------------------------------------------------------- relocalization
-    def relocalize(self, state, frame):
-        """Tracking::Relocalization (~1300): BoW candidates -> landmark
-        matching -> pose solve. Returns (state, ok)."""
-        m = state.m
-        tr = self.tracker
-        bow = np.asarray(self._bow_of_kf(frame.desc, frame.valid))
-        scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
-        scores[~np.asarray(m.kf_valid)] = -1  # culled/unallocated slots
-        order = np.argsort(-scores)[:5]
-        for cand in order:
-            if scores[cand] <= 0:
-                break
-            mb, _ = self._match_kfs(
-                frame.desc, frame.valid, m.kf_desc[cand], m.kf_feat_valid[cand]
-            )
-            mb = np.asarray(mb)
-            lm_c = np.asarray(m.kf_lm_idx[cand])
-            lm_of_kp = np.where((mb >= 0) & (lm_c[np.clip(mb, 0, None)] >= 0),
-                                lm_c[np.clip(mb, 0, None)], -1).astype(np.int32)
-            if (lm_of_kp >= 0).sum() < C.MIN_MATCHES_REF_KF:
-                continue
-            has = jnp.asarray(lm_of_kp >= 0) & frame.valid
-            inv_s2 = jnp.asarray(tr.inv_sigma2)[
-                jnp.clip(frame.octave, 0, tr.n_levels - 1)
-            ]
-            xw = m.pt_pos[jnp.clip(jnp.asarray(lm_of_kp), 0)]
-            # init-free pose (PnPsolver): batched 3-point Horn RANSAC seeded
-            # from the frame's own depth, scored by reprojection — works
-            # even when the camera returns with a large offset from the
-            # candidate KF's stored pose
-            pnp = self._pnp(xw, frame.uvr[:, :2], frame.depth, inv_s2, has, tr.K)
-            if not bool(pnp.ok):
-                continue
-            pts = PointObs(
-                xw=xw,
-                obs=frame.uvr,
-                inv_sigma2=inv_s2,
-                is_stereo=frame.depth > 0,
-                valid=has,
-            )
-            Tcw, inl, _ = pose_optimization(pnp.Tcw, pts, tr.K, tr.bf)
-            n = int(np.asarray(inl & has).sum())
-            if n >= C.MIN_INLIERS_AFTER_RELOC:
-                state = state._replace(
-                    status=jnp.int32(1),
-                    vel_ok=jnp.bool_(False),
-                    ref_kf=jnp.int32(int(cand)),
-                    last=state.last._replace(
-                        uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
-                        desc=frame.desc, depth=frame.depth, valid=frame.valid,
-                        lm_idx=jnp.where(inl & has, jnp.asarray(lm_of_kp), -1),
-                        Tcw=Tcw,
-                    ),
-                )
-                return state, True
-        return state, False
+    # relocalize() is inherited from Relocalizer (pipeline/reloc.py) — the
+    # reference keeps Tracking::Relocalization inside tracking, independent
+    # of the LoopClosing thread; the split here mirrors that.

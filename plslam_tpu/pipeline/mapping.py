@@ -75,7 +75,7 @@ class LocalMapper:
         # Only RECENT points are cull candidates — the reference iterates
         # mlpRecentAddedMapPoints and drops survivors from the list after 3
         # KFs (MapPointCulling ~180); mature points are never re-examined.
-        recent = (age >= 1) & (age <= 3) & (m.pt_first_kf < kf_id)
+        recent = (age >= 1) & (age <= C.CULL_UNSEEN_KFS) & (m.pt_first_kf < kf_id)
         bad = m.pt_valid & recent & (
             ((found_ratio < C.CULL_FOUND_RATIO) & (m.pt_visible > 2))
             | ((age >= 2) & (m.pt_nobs <= C.KF_CULL_MIN_OBS))
@@ -83,7 +83,7 @@ class LocalMapper:
         # MapLineCulling: same policy on the line twin
         ln_ratio = m.ln_found / jnp.clip(m.ln_visible, 1.0)
         ln_age = kf_id - m.ln_first_kf
-        ln_recent = (ln_age >= 1) & (ln_age <= 3) & (m.ln_first_kf < kf_id)
+        ln_recent = (ln_age >= 1) & (ln_age <= C.CULL_UNSEEN_KFS) & (m.ln_first_kf < kf_id)
         ln_bad = m.ln_valid & ln_recent & (
             ((ln_ratio < C.CULL_FOUND_RATIO) & (m.ln_visible > 2))
             | ((ln_age >= 2) & (m.ln_nobs <= C.KF_CULL_MIN_OBS))

@@ -72,6 +72,8 @@ class TrackState(NamedTuple):
     frames_since_kf: jnp.ndarray  # i32[]
     status: jnp.ndarray  # i32[]
     frame_id: jnp.ndarray  # i32[]
+    only_tracking: jnp.ndarray  # bool[] localization-only mode: no keyframe
+    # insertion, no landmark counter mutation (Tracking.cc mbOnlyTracking ~250)
     last: LastFrame
 
 
@@ -122,6 +124,7 @@ class Tracker:
             frames_since_kf=jnp.int32(0),
             status=jnp.int32(ST_UNINIT),
             frame_id=jnp.int32(0),
+            only_tracking=jnp.bool_(False),
             last=LastFrame(
                 uvr=jnp.zeros((N, 3), jnp.float32),
                 octave=jnp.zeros(N, jnp.int32),
@@ -338,7 +341,11 @@ class Tracker:
             # reference requires N>500 features for stereo init; scaled to
             # capacity so tiny test configs can initialize
             min_init = min(100, self.max_feat // 2)
-            enough = jnp.sum(frame.valid & (frame.depth > 0)) > min_init
+            # localization mode never bootstraps a map (mbOnlyTracking:
+            # without a map there is nothing to localize against)
+            enough = (
+                jnp.sum(frame.valid & (frame.depth > 0)) > min_init
+            ) & ~ts.only_tracking
             Tcw = se3.identity()
             m, row_lm, k = self._insert_keyframe(
                 ts.m, frame, Tcw, jnp.full(self.max_feat, -1, jnp.int32),
@@ -548,16 +555,24 @@ class Tracker:
 
             ok = n_inliers >= C.MIN_INLIERS_TRACK_LOCAL_MAP
 
-            # visibility counters (MapPoint::IncreaseVisible / IncreaseFound)
+            # visibility counters (MapPoint::IncreaseVisible / IncreaseFound);
+            # in localization-only mode the map must stay bit-identical, so
+            # the counter writes are masked out (mbOnlyTracking skips the
+            # whole TrackLocalMap bookkeeping path)
+            loc = ts.only_tracking
             vis_all = vis | already
             m = m._replace(
-                pt_visible=m.pt_visible + vis_all.astype(jnp.float32),
+                pt_visible=jnp.where(
+                    loc, m.pt_visible, m.pt_visible + vis_all.astype(jnp.float32)
+                ),
                 pt_found=m.pt_found.at[
-                    jnp.where(lm_of_kp >= 0, lm_of_kp, self.max_pts)
+                    jnp.where((lm_of_kp >= 0) & ~loc, lm_of_kp, self.max_pts)
                 ].add(1.0, mode="drop"),
-                ln_visible=m.ln_visible + ml_vis.astype(jnp.float32),
+                ln_visible=jnp.where(
+                    loc, m.ln_visible, m.ln_visible + ml_vis.astype(jnp.float32)
+                ),
                 ln_found=m.ln_found.at[
-                    jnp.where(ml_of_ln >= 0, ml_of_ln, self.max_maplines)
+                    jnp.where((ml_of_ln >= 0) & ~loc, ml_of_ln, self.max_maplines)
                 ].add(1.0, mode="drop"),
             )
 
@@ -579,7 +594,15 @@ class Tracker:
             c2 = (
                 n_inliers < C.KF_REF_RATIO_RGBD * ref_matches.astype(jnp.float32)
             ) | need_close
-            need_kf = ok & (c1 | c2) & (n_inliers > 15)
+            # c1b: at least MinFrames since the last KF (reference
+            # NeedNewKeyFrame; MinFrames = 0 makes this always true, kept
+            # for config parity)
+            c1b = ts.frames_since_kf + 1 >= C.KF_MIN_FRAMES
+            # localization-only mode NEVER inserts keyframes or landmarks
+            # (Tracking::NeedNewKeyFrame first line: if mbOnlyTracking return
+            # false) — with need_kf False, _insert_keyframe's masked writes
+            # are all dropped and the map pytree passes through bit-identical.
+            need_kf = ok & (c1 | c2) & c1b & (n_inliers > 15) & ~ts.only_tracking
 
             m, row_lm, k = self._insert_keyframe(
                 m, frame, Tcw2, lm_of_kp, ml_of_ln, need_kf, ts.frame_id

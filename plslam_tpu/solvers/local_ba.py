@@ -78,8 +78,8 @@ class LocalBA:
     def __init__(
         self,
         tracker,
-        window: int = 16,
-        fixed: int = 16,
+        window: int = C.LOCAL_KFS,
+        fixed: int = C.LOCAL_FIXED_KFS,
         local_pts: int = 4096,
         local_lines: int = 256,
         iters1: int = C.LOCAL_BA_ITERS_1,

@@ -152,7 +152,7 @@ def pose_optimization(
     bf,
     lines: LineObs | None = None,
     rounds: int = C.POSE_OPT_ROUNDS,
-    iters_schedule: tuple = (4, 2, 2, 2),
+    iters_schedule: tuple = C.POSE_OPT_SCHEDULE,
 ):
     """-> (Tcw f32[4,4], pt_inlier bool[N], line_inlier bool[L] | None).
 

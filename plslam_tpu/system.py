@@ -70,6 +70,14 @@ class System:
             from plslam_tpu.pipeline.loopclosing import LoopCloser
 
             self._loop = LoopCloser(self.tracker)
+            self._reloc = self._loop  # LoopCloser IS-A Relocalizer
+        else:
+            # relocalization is part of TRACKING in the reference
+            # (Tracking::Relocalization ~1300) — always available, with or
+            # without the loop-closing module
+            from plslam_tpu.pipeline.reloc import Relocalizer
+
+            self._reloc = Relocalizer(self.tracker)
         self.localization_only = False
         self.n_loops_closed = 0
         # per-frame structured log (SURVEY.md §6 metrics row): one JSON line
@@ -127,8 +135,12 @@ class System:
                 self.n_loops_closed = self._loop.n_loops_closed
         if prev_kf_valid is not None:
             self._rebase_culled_anchors(prev_kf_valid)
-        if self._loop is not None and int(self.state.status) == 2:  # LOST
-            self.state, recovered = self._loop.relocalize(self.state, frame)
+        if new_kf and self._loop is None and not self.localization_only:
+            # keep the reloc BoW database current (LoopCloser.detect does
+            # this itself when loop closing is on)
+            self._reloc.observe_keyframe(self.state.m, int(out.kf_id))
+        if int(self.state.status) == 2:  # LOST
+            self.state, recovered = self._reloc.relocalize(self.state, frame)
 
         self._timestamps.append(float(timestamp))
         self._rel_poses.append(np.asarray(out.rel_pose, np.float64))
@@ -158,10 +170,19 @@ class System:
 
     # ------------------------------------------------------------------- mode
     def activate_localization_mode(self):
+        """Tracking-only replay (System::ActivateLocalizationMode): the
+        jitted step stops inserting keyframes/landmarks and stops mutating
+        visibility counters — the map pytree stays bit-identical."""
+        import jax.numpy as jnp
+
         self.localization_only = True
+        self.state = self.state._replace(only_tracking=jnp.bool_(True))
 
     def deactivate_localization_mode(self):
+        import jax.numpy as jnp
+
         self.localization_only = False
+        self.state = self.state._replace(only_tracking=jnp.bool_(False))
 
     def get_tracking_state(self) -> str:
         return TRACKING_STATES[int(self.state.status)]
@@ -180,8 +201,7 @@ class System:
         self._timestamps, self._rel_poses = [], []
         self._ref_ids, self._tracked = [], []
         self._kf_timestamps = {}
-        if self._loop is not None:
-            self._loop.reset()  # stale BoW rows must not score vs the new map
+        self._reloc.reset()  # stale BoW rows must not score vs the new map
         self.n_loops_closed = 0
 
     def shutdown(self):
@@ -204,7 +224,15 @@ class System:
         for tracking-only replay against a prebuilt map."""
         from plslam_tpu.io.snapshot import load_state
 
+        was_loc = self.localization_only
         self.state = load_state(path, self.state)
+        # the snapshot carries its own only_tracking flag — re-assert the
+        # live System's mode over it
+        (self.activate_localization_mode if was_loc
+         else self.deactivate_localization_mode)()
+        # BoW rows are host state, not part of the snapshot: rebuild so
+        # relocalization (and loop detection) work on the loaded map
+        self._reloc.rebuild_database(self.state.m)
 
     def _rebase_culled_anchors(self, prev_kf_valid: np.ndarray):
         """Re-anchor replay poses of frames whose reference KF was just

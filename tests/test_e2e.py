@@ -104,6 +104,29 @@ class TestDegenerate:
         assert slam.get_tracking_state() == "LOST"
         assert np.isfinite(np.asarray(slam.state.m.pt_pos)).all()
 
+    def test_relocalize_without_loop_closing(self, small_seq):
+        """Relocalization is part of TRACKING (Tracking::Relocalization
+        ~1300) — it must rescue a LOST run even with the loop-closing module
+        disabled (driver configs 1-3). Black out 5 frames mid-run, then feed
+        real frames again: the BoW+PnP path must recover."""
+        slam = System(small_seq.settings, max_pts=4096, max_kf=32,
+                      use_loop_closing=False)
+        assert slam._loop is None  # the scenario under test
+        for i in range(10):
+            gray, depth, t = small_seq.frame(i)
+            slam.track_rgbd(gray, depth, t)
+        assert slam.get_tracking_state() == "OK"
+        for j in range(5):
+            slam.track_rgbd(np.zeros_like(gray), depth, t + 0.03 * (j + 1))
+        assert slam.get_tracking_state() == "LOST"
+        recovered = []
+        for i in range(10, small_seq.n_frames):
+            gray, depth, t = small_seq.frame(i)
+            out = slam.track_rgbd(gray, depth, t + 0.5)
+            recovered.append(out is not None)
+        assert any(recovered), "never relocalized after blackout"
+        assert slam.get_tracking_state() == "OK"
+
 
 class TestEvaluator:
     def test_ate_zero_on_identical(self, small_seq):
@@ -137,16 +160,27 @@ class TestSnapshot:
             np.testing.assert_array_equal(a, b)
 
     def test_localization_on_loaded_map(self, small_system_run, small_seq, tmp_path):
+        """Localization-only replay must track AND leave the loaded map
+        bit-identical (Tracking.cc mbOnlyTracking: no keyframes, no landmark
+        creation, no visibility-counter mutation)."""
+        import jax
+
         slam, _ = small_system_run
         f = tmp_path / "map.npz"
         slam.save_map(f)
         from plslam_tpu.system import System
 
         slam2 = System(small_seq.settings, max_pts=4096, max_kf=32)
-        # warm the pipeline shape by one dummy frame on a fresh instance
         slam2.load_map(f)
         slam2.activate_localization_mode()
-        g, d, t = small_seq.frame(small_seq.n_frames - 1)
-        out = slam2.track_rgbd(g, d, t + 0.05)
+        map_before = jax.tree.map(np.asarray, slam2.state.m)
+        for i in (small_seq.n_frames - 3, small_seq.n_frames - 2, small_seq.n_frames - 1):
+            g, d, t = small_seq.frame(i)
+            out = slam2.track_rgbd(g, d, t + 0.05)
         assert out is not None
         assert slam2.get_tracking_state() == "OK"
+        map_after = jax.tree.map(np.asarray, slam2.state.m)
+        for name, a, b in zip(
+            map_before._fields, jax.tree.leaves(map_before), jax.tree.leaves(map_after)
+        ):
+            np.testing.assert_array_equal(a, b, err_msg=f"map field {name} mutated")

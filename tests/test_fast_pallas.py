@@ -58,3 +58,43 @@ class TestPallasFastStructure:
         ref = np.asarray(fast.fast_with_fallback(img, 20.0, 7.0, 32, 19))
         pal = np.asarray(fast_with_fallback_pallas(img, 20.0, 7.0, 32, 19))
         np.testing.assert_array_equal(ref, pal)
+
+
+class TestPallasPatchGather:
+    def test_matches_dynamic_slice_oracle_interpret(self, rng):
+        """gather_patches_pallas (interpret mode on CPU) must equal the
+        vmapped dynamic_slice oracle up to the bf16 cast."""
+        import jax.numpy as jnp
+
+        from plslam_tpu.ops import patches
+
+        img = rng.uniform(0, 255, (160, 200)).astype(np.float32)
+        yx = rng.integers(20, 140, size=(37, 2)).astype(np.int32)
+        ours = np.asarray(
+            patches.gather_patches_pallas(
+                jnp.asarray(img), jnp.asarray(yx), 39, interpret=True
+            )
+        ).astype(np.float32)
+        ref = np.asarray(
+            patches.gather_patches(
+                jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32),
+                jnp.asarray(yx), 39,
+            )
+        )
+        np.testing.assert_array_equal(ours[:, :, :39], ref)
+
+    def test_center_convention(self, rng):
+        """Patch center must land at (size//2, size//2) of the output."""
+        import jax.numpy as jnp
+
+        from plslam_tpu.ops import patches
+
+        img = np.zeros((128, 128), np.float32)
+        img[50, 60] = 255.0
+        out = np.asarray(
+            patches.gather_patches_pallas(
+                jnp.asarray(img), jnp.asarray([[50, 60]], np.int32), 39,
+                interpret=True,
+            )
+        )
+        assert out[0, 19, 19] == 255.0 and out.sum() == 255.0

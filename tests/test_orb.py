@@ -87,6 +87,22 @@ class TestOrientation:
             m01 = (patch * ys * circ).sum()
             assert abs(np.arctan2(m01, m10) - ours[i]) < 1e-4
 
+    def test_blurred_vs_raw_angle_equivalence(self, rng):
+        """The extractor computes IC angle from the BLURRED patch (saves the
+        raw-patch gather); isotropic blur must preserve the centroid
+        direction to within a couple of degrees on textured patches (the
+        matcher's rotation-consistency histogram bins are 12 degrees)."""
+        cv2 = pytest.importorskip("cv2")
+        img = make_test_image(rng)
+        blurred = cv2.GaussianBlur(img, (7, 7), 2.0)
+        yx = jnp.asarray(rng.integers(25, 90, size=(32, 2)).astype(np.int32))
+        p_raw = patches.gather_patches(jnp.asarray(img), yx, 31)
+        p_blur = patches.gather_patches(jnp.asarray(blurred), yx, 31)
+        a_raw = np.asarray(orientation.ic_angle(p_raw, radius=15))
+        a_blur = np.asarray(orientation.ic_angle(p_blur, radius=15))
+        diff = np.abs(np.angle(np.exp(1j * (a_raw - a_blur))))
+        assert np.median(diff) < np.deg2rad(2.5), np.rad2deg(np.median(diff))
+
     def test_gradient_image_angle(self):
         """On a pure horizontal ramp the centroid points along +x."""
         img = jnp.asarray(np.tile(np.arange(64, dtype=np.float32), (64, 1)))
@@ -129,6 +145,33 @@ class TestBrief:
 
         assert ham(d0, d_steered) < ham(d0, d_unsteered)
         assert ham(d0, d_steered) < 60
+
+    def test_rank1_matmul_matches_gather_oracle(self, rng):
+        """The one-hot-matmul sampling must agree with a plain NumPy gather
+        of the same rounded rotated positions (up to bf16 rounding ties)."""
+        img = make_test_image(rng)
+        yx = jnp.asarray(rng.integers(25, 90, size=(12, 2)).astype(np.int32))
+        p = patches.gather_patches(jnp.asarray(img), yx, brief.PATCH_D)
+        ang = rng.uniform(-np.pi, np.pi, 12).astype(np.float32)
+        ours = np.asarray(brief.steered_brief(p, jnp.asarray(ang)))
+
+        pa, pb = brief.pattern()
+        pn = np.asarray(p)
+        ref = np.zeros((12, 32), np.uint8)
+        for i in range(12):
+            ca, sa = np.cos(ang[i]), np.sin(ang[i])
+            bits = np.zeros(256, np.uint8)
+            for b in range(256):
+                def sample(pt):
+                    rx = int(np.round(pt[0] * ca - pt[1] * sa))
+                    ry = int(np.round(pt[0] * sa + pt[1] * ca))
+                    return pn[i, ry + brief.PATCH_R, rx + brief.PATCH_R]
+                bits[b] = sample(pa[b]) < sample(pb[b])
+            ref[i] = np.packbits(bits.reshape(32, 8)[:, ::-1], axis=-1).ravel()
+        ham = np.unpackbits(ours ^ ref).sum(axis=-1) if ours.ndim == 1 else np.array(
+            [np.unpackbits(ours[i] ^ ref[i]).sum() for i in range(12)]
+        )
+        assert ham.mean() < 6, f"rank-1 vs gather oracle hamming {ham}"
 
     def test_unpack_pm1_hamming_identity(self, rng):
         a = rng.integers(0, 256, (8, 32)).astype(np.uint8)
