@@ -68,6 +68,13 @@ TRIANG_COVIS_KFS = 10  # CreateNewMapPoints neighbor count (~250)
 LOOP_MIN_KFS_SINCE_LAST = 10  # DetectLoop (~80)
 LOOP_CONSISTENT_GROUPS = 3
 LOOP_BOW_MIN_MATCHES = 20  # ComputeSim3 (~200)
+LOOP_MIN_SCORE_FALLBACK = 0.05  # detect() min-score when the query KF has no
+# covisible neighbours (the reference always has neighbours; this is the
+# bootstrap edge case). Measured on the perceptual-aliasing fixture
+# (tests/test_vocab.py, trained vocab): true-revisit median score 0.35,
+# cross-scene p95 0.12 — 0.05 never rejects a real revisit, and alias
+# rejection is carried by the shared-word gate + group accumulation +
+# 3-consecutive-KF consistency, not by this floor.
 LOOP_SIM3_MIN_INLIERS = 20
 LOOP_TOTAL_MIN_MATCHES = 40
 

@@ -36,6 +36,8 @@ _VOCAB_SEED = 0xB0C4B
 class Vocabulary:
     def __init__(self, n_words: int = 4096, words: np.ndarray | None = None):
         if words is None:
+            words = trained_words()  # k-medians asset (ORBvoc equivalent)
+        if words is None:  # no asset: seeded LSH codebook
             rs = np.random.RandomState(_VOCAB_SEED)
             words = rs.randint(0, 256, (n_words, 32)).astype(np.uint8)
         self.words = words
@@ -61,6 +63,24 @@ class Vocabulary:
     @functools.cached_property
     def bow_jit(self):
         return jax.jit(self.bow)
+
+
+@functools.lru_cache(maxsize=1)
+def trained_words() -> np.ndarray | None:
+    """The trained k-medians codebook asset (loopclosing/train_vocab.py) —
+    the equivalent of the reference's Vocabulary/ORBvoc.txt. None if the
+    asset is absent (then a seeded LSH codebook is used)."""
+    from plslam_tpu.loopclosing.train_vocab import ASSET
+
+    if not ASSET.exists():
+        return None
+    return np.load(ASSET)["words"]
+
+
+def random_vocabulary(n_words: int = 4096) -> "Vocabulary":
+    """The untrained seeded-LSH baseline (for A/B tests)."""
+    rs = np.random.RandomState(_VOCAB_SEED)
+    return Vocabulary(words=rs.randint(0, 256, (n_words, 32)).astype(np.uint8))
 
 
 def l1_score(bow_a, bow_b):

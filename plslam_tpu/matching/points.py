@@ -22,7 +22,9 @@ import numpy as np
 
 from plslam_tpu import constants as C
 
-BIG = jnp.float32(1e9)
+BIG = np.float32(1e9)  # numpy, NOT jnp: a module-level jnp constant creates
+# a device array at import time, initializing the jax backend before tooling
+# (train_vocab, tests) can force the CPU platform
 
 
 def hamming_matrix(pm1_a, pm1_b):

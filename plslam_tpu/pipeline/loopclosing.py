@@ -177,7 +177,10 @@ class LoopCloser(Relocalizer):
         covis = self._covis_row(m, k)
         neighbours = np.where(covis >= C.COVIS_TH)[0]
         scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
-        min_score = scores[neighbours].min() if len(neighbours) else 0.05
+        min_score = (
+            scores[neighbours].min() if len(neighbours)
+            else C.LOOP_MIN_SCORE_FALLBACK
+        )
         # culled keyframes keep stale kf_bow rows — never candidates, and
         # never an anchor for close_loop (their poses are frozen). Slots are
         # REUSED, so validity + frame-id recency replace slot-index gates.
