@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark: frames/sec/chip at 640x480 RGB-D tracking (BASELINE.json metric).
 
-Runs the FULL per-frame pipeline (pyramid -> ORB -> matching -> double pose
-LM -> masked keyframe/map insertion) as one jitted lax.scan over a synthetic
-640x480 sequence resident in HBM, on the real TPU chip. Prints ONE JSON line:
+Runs the FULL per-frame POINT+LINE pipeline (pyramid -> ORB + device LSD/LBD
+-> point+line matching -> double pose LM with line edges -> masked
+keyframe/map insertion) per frame on the real TPU chip. Lines are REAL work
+since round 3: ops/lsd_device.py detects segments inside the jitted frame
+program (the round-2 bench fed empty line arrays — flagged as dishonest vs
+the point+line reference baseline). Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
 vs_baseline: the C++ reference tracks at ~25-40 fps on a desktop CPU
 (BASELINE.md: ORB-SLAM2 paper runtime table, RGB-D ~30 fps median); the
@@ -106,7 +109,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames/sec/chip at 640x480 TUM RGB-D (full tracking step, synthetic)",
+                "metric": "frames/sec/chip at 640x480 TUM RGB-D (full point+line tracking step, synthetic)",
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 3),

@@ -44,6 +44,11 @@ class Settings:
     # line features on/off (the PL fork always extracts lines; configs 1 runs
     # point-only per BASELINE.json config 1)
     use_lines: bool = True
+    # line detection backend: "device" fuses LSD into the jitted frame
+    # builder (ops/lsd_device.py — TPU-native, zero host cost); "host" uses
+    # the C++/cv2 detector (ops/lsd.py — the oracle, and the reference's
+    # architecture: LSDDetector on a CPU thread)
+    line_backend: str = "device"
     # loop closing on/off (config 1/2/3 vs 4)
     use_loop_closing: bool = True
 
@@ -89,11 +94,13 @@ _KEYMAP = {
     "ORBextractor.iniThFAST": "ini_th_fast",
     "ORBextractor.minThFAST": "min_th_fast",
     "UseLines": "use_lines",
+    "LineBackend": "line_backend",
     "UseLoopClosing": "use_loop_closing",
 }
 
 _INT_FIELDS = {"rgb", "width", "height", "n_features", "n_levels", "ini_th_fast", "min_th_fast"}
 _BOOL_FIELDS = {"use_lines", "use_loop_closing"}
+_STR_FIELDS = {"line_backend"}
 
 
 def load_settings(path: str | Path) -> Settings:
@@ -112,6 +119,8 @@ def load_settings(path: str | Path) -> Settings:
             continue
         if field in _BOOL_FIELDS:
             values[field] = raw.strip().lower() in ("1", "true", "yes", "on")
+        elif field in _STR_FIELDS:
+            values[field] = raw.strip().strip("\"'")
         elif field in _INT_FIELDS:
             values[field] = int(float(raw))
         else:

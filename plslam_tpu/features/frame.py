@@ -79,14 +79,22 @@ class FrameBuilder:
         self.bf = float(settings.bf)
         self.line_capacity = line_capacity
         self.use_lines = settings.use_lines
+        # "device": LSD runs INSIDE the jitted builder (ops/lsd_device.py) —
+        # the host endpoint inputs are ignored and detect_lines() returns
+        # empties. "host": reference architecture (C++ LSD on the host).
+        self.device_lines = (
+            settings.use_lines and getattr(settings, "line_backend", "device") == "device"
+        )
 
     @functools.cached_property
     def _jitted(self):
         return jax.jit(self._build)
 
     def detect_lines(self, gray_np: np.ndarray):
-        """Host LSD -> fixed-capacity endpoint arrays (ops/lsd.py)."""
-        if not self.use_lines:
+        """Host LSD -> fixed-capacity endpoint arrays (ops/lsd.py). With the
+        device backend the jitted builder detects its own lines and this
+        returns empties (kept so callers are backend-agnostic)."""
+        if not self.use_lines or self.device_lines:
             L = self.line_capacity
             return (
                 np.zeros((L, 2), np.float32),
@@ -121,6 +129,15 @@ class FrameBuilder:
         return jnp.where(valid & (d > 0) & jnp.isfinite(d), d, 0.0)
 
     def _build(self, gray, depth, ln_sp_raw, ln_ep_raw, ln_valid) -> FrameData:
+        if self.device_lines:
+            # LSD fused into the frame program: intra-frame points ∥ lines
+            # in ONE dispatch (the reference needs two pthreads in the Frame
+            # ctor, src/Frame.cc ~150; SURVEY.md §3.3 intra-frame row)
+            from plslam_tpu.ops import lsd_device
+
+            ln_sp_raw, ln_ep_raw, ln_valid = lsd_device.detect_lines_device(
+                gray, self.line_capacity
+            )
         fs = self.extractor._extract(gray)
         uv_raw = fs.uv
         uv_und = self._undistort(uv_raw)

@@ -1,0 +1,214 @@
+"""Device (on-TPU) line segment detection.
+
+Replaces the host detector (ops/lsd.py -> native/lsd.cpp) for the live
+pipeline: the reference wraps cv::line_descriptor::LSDDetector
+(src/LineExtractor.cc), whose region-growing is data-dependent and
+host-sequential — ~8 ms/frame on this host, longer than the ENTIRE device
+frame. This is the TPU-native redesign (SURVEY.md §10.3e plan (a)): every
+stage is dense, fixed-shape, and jit-traceable, so line detection fuses into
+the same XLA program as ORB extraction (true intra-frame points ∥ lines,
+SURVEY.md §3.3 — the reference needs two pthreads for this).
+
+Algorithm (oriented-integration, an EDLines/LSD hybrid built for the MXU):
+  1. central-difference gradients -> magnitude + orientation
+  2. B direction bins (line direction, mod pi); per bin, an "aligned
+     support" map: gradient strong AND perpendicular to the bin direction
+     (LSD's level-line field, quantized)
+  3. oriented integration: depthwise conv of each support map with a
+     1 x LINE_INTEG line kernel along the bin direction — the response is
+     the aligned density over a candidate segment through the pixel
+     (replaces LSD's region-grow + NFA with a fixed-footprint test)
+  4. 3x3 NMS + per-cell top-k anchors (reuses the FAST selection machinery)
+  5. fixed-length bidirectional walk from each anchor along the bin
+     direction, sampling the support map; the endpoint is the last sample
+     before the first gap of >= GAP_BREAK consecutive empty pixels
+     (EDLines' anchor-walk, with a bounded loop instead of while())
+  6. overlap suppression (two anchors on one edge yield nested segments):
+     a longer segment absorbs a shorter one whose midpoint lies near it
+     with a similar angle; survivors sorted by length, capacity-capped —
+     the host detector's output contract (ops/lsd.py).
+
+The host detector remains the oracle: tests/test_lsd_device.py checks
+edge-recovery on rendered rectangles and e2e ATE parity on the synthetic
+sequence against the host path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu import constants as C
+
+N_DIRS = 8  # line-direction bins over [0, pi)
+LINE_INTEG = 17  # oriented integration length (px)
+WALK = 80  # max endpoint walk per side (px) -> max segment length 2*WALK
+GAP_BREAK = 3  # consecutive empty support pixels that end a segment
+DENSITY_TH = 0.6  # min aligned density over the integration window
+ANGLE_TOL_DEG = 22.5
+GRAD_TH = 5.0
+
+
+@functools.lru_cache(maxsize=4)
+def _dir_tables(n_dirs: int = N_DIRS, integ: int = LINE_INTEG):
+    """Per-bin unit directions and oriented line kernels (numpy: lru_cache
+    must not hold tracers)."""
+    thetas = np.arange(n_dirs) * np.pi / n_dirs
+    dirs = np.stack([np.cos(thetas), np.sin(thetas)], -1).astype(np.float32)
+    r = integ // 2
+    kernels = np.zeros((n_dirs, integ, integ), np.float32)
+    cc = r
+    for b, (dx, dy) in enumerate(dirs):
+        for t in range(-r, r + 1):
+            x = int(round(cc + t * dx))
+            y = int(round(cc + t * dy))
+            kernels[b, y, x] = 1.0
+    kernels /= kernels.sum(axis=(1, 2), keepdims=True)
+    return dirs, kernels
+
+
+def support_maps(gray, grad_th: float = GRAD_TH, n_dirs: int = N_DIRS):
+    """-> (support f32[B, H, W] aligned-gradient indicator, mag f32[H, W])."""
+    gx = jnp.zeros_like(gray).at[:, 1:-1].set((gray[:, 2:] - gray[:, :-2]) * 0.5)
+    gy = jnp.zeros_like(gray).at[1:-1, :].set((gray[2:, :] - gray[:-2, :]) * 0.5)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    # line direction is PERPENDICULAR to the gradient; fold into [0, pi)
+    line_ang = jnp.arctan2(gy, gx) + jnp.pi / 2
+    thetas = jnp.arange(n_dirs, dtype=jnp.float32) * (jnp.pi / n_dirs)
+    # angular distance mod pi
+    d = line_ang[None] - thetas[:, None, None]
+    d = jnp.abs(jnp.remainder(d + jnp.pi / 2, jnp.pi) - jnp.pi / 2)
+    tol = jnp.deg2rad(ANGLE_TOL_DEG)
+    sup = (d < tol) & (mag > grad_th)[None]
+    return sup.astype(jnp.float32), mag
+
+
+def detect_lines_device(
+    gray,
+    capacity: int = C.MAX_LINES,
+    min_length_frac: float = C.MIN_LINE_LENGTH_FRAC,
+    n_candidates: int = 256,
+    cell: int = 32,
+):
+    """gray f32[H, W] (0..255) -> (sp f32[L, 2], ep f32[L, 2], valid bool[L]).
+
+    Endpoints in (x, y) pixel coords, longest first — the detect_lines_host
+    contract. Fully jittable."""
+    from plslam_tpu.ops import select
+
+    H, W = gray.shape
+    dirs_np, kern_np = _dir_tables()
+    dirs = jnp.asarray(dirs_np)
+    sup, mag = support_maps(gray)
+
+    # 3. oriented integration. NOT a conv: XLA lowers the 8-channel
+    # depthwise 17x17 conv to eight ~2 ms fusions (15.7 ms/frame, device
+    # trace) — the tiny channel count starves the MXU. The kernels are
+    # 17-tap LINES, so integrate as tap-count static shifted adds over a
+    # padded support map; XLA fuses each bin's chain into one ~VPU pass.
+    r_i = LINE_INTEG // 2
+    sup_p = jnp.pad(sup, ((0, 0), (r_i, r_i), (r_i, r_i)))
+    dens_l = []
+    for b in range(N_DIRS):
+        taps = np.argwhere(kern_np[b] > 0)  # [(oy, ox)] dedup'd by table
+        acc = None
+        for oy, ox in taps:
+            sl = sup_p[b, oy : oy + H, ox : ox + W]
+            acc = sl if acc is None else acc + sl
+        dens_l.append(acc * (1.0 / len(taps)))
+    dens = jnp.stack(dens_l)  # [B, H, W]
+
+    score = jnp.max(dens, 0)
+    bbest = jnp.argmax(dens, 0).astype(jnp.int32)
+    score = jnp.where(score >= DENSITY_TH, score, 0.0)
+    # border: walks sample with clipping; keep anchors off the frame edge
+    bmask = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
+    score = jnp.where(bmask, score, 0.0)
+
+    # 4. spread selection: per-cell argmax + global top-k (the FAST
+    # selection machinery). NO 3x3 NMS here — line responses are constant
+    # plateaus ALONG the edge and strict non-max would erase them; one
+    # anchor per cell is the right granularity (the walk + overlap
+    # suppression merge anchors that share an edge).
+    yx, resp, cand_ok = select.select_topk_grid(score, n_candidates, cell=cell)
+
+    # 5. bidirectional endpoint walk on the support map of the anchor's bin
+    b_of = bbest[yx[:, 0], yx[:, 1]]  # [K]
+    d_of = dirs[b_of]  # [K, 2] (dx, dy)
+    sup_flat = sup.reshape(N_DIRS * H, W)
+    ts = jnp.arange(1, WALK + 1, dtype=jnp.float32)
+
+    def side_extent(sign):
+        # sample positions [K, WALK]
+        px = yx[:, 1, None].astype(jnp.float32) + sign * ts[None] * d_of[:, 0, None]
+        py = yx[:, 0, None].astype(jnp.float32) + sign * ts[None] * d_of[:, 1, None]
+        xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+        rows = b_of[:, None] * H + yi
+        good = sup_flat.reshape(-1)[rows * W + xi] > 0  # [K, WALK]
+        # consecutive-empty run ending at step t, scan-free:
+        # run[t] = t - (last good step <= t)
+        tidx = jnp.arange(1, WALK + 1, dtype=jnp.int32)
+        last_good = jax.lax.cummax(jnp.where(good, tidx[None], 0), axis=1)
+        run = tidx[None] - last_good
+        dead = run >= GAP_BREAK
+        alive = jnp.cumsum(dead.astype(jnp.int32), 1) == 0
+        # extent = farthest supported sample before the segment dies
+        return jnp.max(jnp.where(alive & good, ts[None], 0.0), 1)  # [K] px
+
+    t_pos = side_extent(1.0)
+    t_neg = side_extent(-1.0)
+    length = t_pos + t_neg
+    diag = float(np.hypot(H, W))
+    min_len = max(min_length_frac * diag, float(LINE_INTEG))
+    ok = cand_ok & (length >= min_len)
+
+    cy = yx[:, 0].astype(jnp.float32)
+    cx = yx[:, 1].astype(jnp.float32)
+    sp = jnp.stack([cx - t_neg * d_of[:, 0], cy - t_neg * d_of[:, 1]], -1)
+    ep = jnp.stack([cx + t_pos * d_of[:, 0], cy + t_pos * d_of[:, 1]], -1)
+
+    # 6. overlap suppression: longest-first; a segment dies if its midpoint
+    # is within suppress_r of a longer surviving segment's midpoint-line
+    # with a similar direction. One masked [K, K] pass (K = n_candidates).
+    # SORT-FREE: precedence is the pairwise predicate "longer, ties by
+    # index" instead of an argsort + 5-array reorder (the reorder gathers
+    # pulled the whole support-map producer chain into one 1.4 ms/frame
+    # re-materializing fusion on TPU, device trace).
+    idx = jnp.arange(sp.shape[0])
+    prec = (length[:, None] > length[None, :]) | (
+        (length[:, None] == length[None, :]) & (idx[:, None] < idx[None, :])
+    )
+    mid = 0.5 * (sp + ep)
+    # distance from mid_j to the infinite line through segment i
+    n_i = jnp.stack([-d_of[:, 1], d_of[:, 0]], -1)  # unit normals [K, 2]
+    diff = mid[None, :, :] - mid[:, None, :]  # [K_i, K_j, 2]
+    perp = jnp.abs(jnp.sum(diff * n_i[:, None, :], -1))
+    along = jnp.abs(jnp.sum(diff * d_of[:, None, :], -1))
+    cosang = jnp.abs(jnp.sum(d_of[:, None, :] * d_of[None, :, :], -1))
+    covered = (
+        (perp < 3.0)
+        & (cosang > 0.966)  # within ~15 deg
+        & (along < 0.5 * length[:, None] + 2.0)
+        & ok[:, None]
+        & ok[None, :]
+        & prec
+    )
+    # iterate twice so a suppressed segment cannot itself suppress
+    alive = ok
+    for _ in range(2):
+        suppressed = jnp.any(covered & alive[:, None], axis=0)
+        alive = ok & ~suppressed
+    ok = alive
+
+    # pack survivors into the fixed-capacity output, longest first:
+    # slot j = number of surviving segments that precede j
+    rank = jnp.sum(prec & ok[:, None], axis=0).astype(jnp.int32)
+    slot = jnp.where(ok & (rank < capacity), rank, capacity)
+    out_sp = jnp.zeros((capacity + 1, 2), jnp.float32).at[slot].set(sp, mode="drop")[:capacity]
+    out_ep = jnp.zeros((capacity + 1, 2), jnp.float32).at[slot].set(ep, mode="drop")[:capacity]
+    out_ok = jnp.zeros(capacity + 1, bool).at[slot].set(ok, mode="drop")[:capacity]
+    return out_sp, out_ep, out_ok
