@@ -224,9 +224,23 @@ class Tracker:
         Twc_l = se3.inverse(Tcw)
         sw_w = se3.transform(Twc_l, camera.backproject(self.K, frame.ln_sp, frame.ln_depth_sp))
         ew_w = se3.transform(Twc_l, camera.backproject(self.K, frame.ln_ep, frame.ln_depth_ep))
+        # viewing normal + scale band at the midpoint (MapLine ctor calls
+        # UpdateAverageDir like MapPoint's UpdateNormalAndDepth; lines are
+        # single-octave here — LSD runs on level 0 — so the band is
+        # distance-anchored with the full pyramid span)
+        ln_mid_w = 0.5 * (sw_w + ew_w)
+        ln_dvec = ln_mid_w - cam_center
+        ln_d = jnp.linalg.norm(ln_dvec, axis=-1)
+        ln_normal = ln_dvec / jnp.clip(ln_d, 1e-6)[:, None]
+        ln_dmax = ln_d
+        ln_dmin = ln_dmax / float(self.s.scale_factor ** (self.n_levels - 1))
         m = m._replace(
             ln_sw=m.ln_sw.at[ln_scatter].set(sw_w, mode="drop"),
             ln_ew=m.ln_ew.at[ln_scatter].set(ew_w, mode="drop"),
+            ln_normal=m.ln_normal.at[ln_scatter].set(ln_normal, mode="drop"),
+            ln_dist=m.ln_dist.at[ln_scatter].set(
+                jnp.stack([ln_dmin, ln_dmax], -1), mode="drop"
+            ),
             ln_desc=m.ln_desc.at[ln_scatter].set(frame.ln_desc, mode="drop"),
             ln_valid=m.ln_valid.at[ln_scatter].set(True, mode="drop"),
             ln_ref_kf=m.ln_ref_kf.at[ln_scatter].set(k, mode="drop"),
@@ -304,7 +318,11 @@ class Tracker:
         return uv, pred_oct, vis
 
     def _project_lines(self, m: MapState, Tcw):
-        """Project map-line endpoints -> (mid [Q,2], angle [Q], vis [Q])."""
+        """Project map-line endpoints -> (mid [Q,2], angle [Q], vis [Q]).
+
+        Gates mirror Frame::isInFrustum for points (the MapLine twin the
+        reference implements in src/MapLine.cc): frustum + viewing-angle
+        (vs ln_normal) + midpoint distance band (ln_dist)."""
         sp_c = se3.transform(Tcw, m.ln_sw)
         ep_c = se3.transform(Tcw, m.ln_ew)
         sp_uv = camera.project(self.K, sp_c)
@@ -312,11 +330,19 @@ class Tracker:
         mid = 0.5 * (sp_uv + ep_uv)
         seg = ep_uv - sp_uv
         ang = jnp.arctan2(seg[:, 1], seg[:, 0])
+        cam_center = se3.translation(se3.inverse(Tcw))
+        dvec = 0.5 * (m.ln_sw + m.ln_ew) - cam_center
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        dmin, dmax = m.ln_dist[:, 0], m.ln_dist[:, 1]
+        in_band = (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
+        view_cos = jnp.sum(dvec * m.ln_normal, -1) / jnp.clip(dist, 1e-6)
         vis = (
             m.ln_valid
             & (sp_c[:, 2] > 0.05)
             & (ep_c[:, 2] > 0.05)
             & camera.in_image(mid, self.width, self.height)
+            & in_band
+            & (view_cos > 0.5)
         )
         return mid, ang, vis
 

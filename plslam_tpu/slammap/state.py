@@ -61,6 +61,9 @@ class MapState(NamedTuple):
     ln_sw: jnp.ndarray  # f32[Q, 3] world start point
     ln_ew: jnp.ndarray  # f32[Q, 3] world end point
     ln_desc: jnp.ndarray  # u8[Q, 32] LBD descriptor
+    ln_normal: jnp.ndarray  # f32[Q, 3] mean viewing direction of the midpoint
+    # (MapLine::UpdateAverageDir — the MapPoint normal twin)
+    ln_dist: jnp.ndarray  # f32[Q, 2] (dmin, dmax) midpoint scale band
     ln_valid: jnp.ndarray  # bool[Q]
     ln_ref_kf: jnp.ndarray  # i32[Q]
     ln_first_kf: jnp.ndarray  # i32[Q]
@@ -112,6 +115,8 @@ def empty_map(
         ln_sw=jnp.zeros((Q, 3), f32),
         ln_ew=jnp.zeros((Q, 3), f32),
         ln_desc=jnp.zeros((Q, 32), jnp.uint8),
+        ln_normal=jnp.zeros((Q, 3), f32),
+        ln_dist=jnp.zeros((Q, 2), f32),
         ln_valid=jnp.zeros(Q, bool),
         ln_ref_kf=jnp.zeros(Q, i32),
         ln_first_kf=jnp.zeros(Q, i32),

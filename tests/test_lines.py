@@ -71,11 +71,27 @@ class TestLBD:
         gray, _, _ = line_seq.frame(0)
         sp, ep, valid = lsd.detect_lines_host(gray, capacity=8)
         gxj, gyj = lbd.image_gradients(jnp.asarray(gray))
-        v = np.asarray(lbd.lbd_vector(gxj, gyj, jnp.asarray(sp), jnp.asarray(ep), jnp.asarray(valid)))
+        v = np.asarray(lbd.lbd_vector(
+            gxj, gyj, jnp.asarray(sp), jnp.asarray(ep), jnp.asarray(valid),
+            exact=True,
+        ))
         gx, gy = np.asarray(gxj), np.asarray(gyj)
         for i in range(int(valid.sum())):
             ref = self._numpy_lbd_vector(gx, gy, sp[i], ep[i])
             np.testing.assert_allclose(v[i], ref, atol=1e-4)
+
+    def test_fast_path_matches_exact_descriptors(self, line_seq):
+        """The packed-bf16 nearest-neighbor pipeline path must produce
+        descriptors within a few Hamming bits of the exact bilinear path
+        (band statistics are insensitive to the snap + bf16 rounding)."""
+        gray, _, _ = line_seq.frame(0)
+        sp, ep, valid = lsd.detect_lines_host(gray, capacity=32)
+        gxj, gyj = lbd.image_gradients(jnp.asarray(gray))
+        args = (gxj, gyj, jnp.asarray(sp), jnp.asarray(ep), jnp.asarray(valid))
+        d_fast = np.asarray(lbd.lbd_descriptor(*args))
+        d_ex = np.asarray(lbd.lbd_descriptor(*args, exact=True))
+        ham = np.unpackbits(d_fast ^ d_ex, axis=1).sum(1)[valid]
+        assert ham.mean() < 24 and ham.max() < 64, (ham.mean(), ham.max())
 
     def test_descriptor_stability_across_frames(self, line_seq):
         """The same physical line in consecutive frames must have a much
@@ -231,3 +247,105 @@ class TestLineTriangulation:
             ridx = int(np.asarray(m2.kf_ln_idx[1]).tolist().index(q))
             np.testing.assert_allclose(got_sw[q], sw[ridx], atol=0.02)
             np.testing.assert_allclose(got_ew[q], ew[ridx], atol=0.02)
+
+
+class TestMapLineHygiene:
+    """MapLine parity with MapPoint (src/MapLine.cc mirrors the MapPoint
+    API): viewing-angle + distance-band gating in _project_lines, and
+    UpdateAverageDir/distinctive-descriptor refresh (VERDICT r2 #6)."""
+
+    def _tracker_with_line(self):
+        import jax.numpy as jnp
+
+        from plslam_tpu.config import Settings
+        from plslam_tpu.geometry import se3
+        from plslam_tpu.pipeline.tracking import Tracker
+
+        s = Settings(width=320, height=240, fx=260, fy=260, cx=160, cy=120)
+        tr = Tracker(s, max_kf=8, max_pts=512, max_feat=64, max_lines=16,
+                     max_maplines=64)
+        m = tr.init_state().m
+        # one map line 2m straight ahead of the origin camera, horizontal
+        sw = jnp.asarray([-0.5, 0.0, 2.0])
+        ew = jnp.asarray([0.5, 0.0, 2.0])
+        mid_dir = jnp.asarray([0.0, 0.0, 1.0])  # viewed from origin
+        m = m._replace(
+            ln_sw=m.ln_sw.at[0].set(sw),
+            ln_ew=m.ln_ew.at[0].set(ew),
+            ln_valid=m.ln_valid.at[0].set(True),
+            ln_normal=m.ln_normal.at[0].set(mid_dir),
+            ln_dist=m.ln_dist.at[0].set(jnp.asarray([0.6, 2.2])),
+        )
+        return tr, m
+
+    def test_project_lines_accepts_frontal_view(self):
+        from plslam_tpu.geometry import se3
+
+        tr, m = self._tracker_with_line()
+        _, _, vis = tr._project_lines(m, se3.identity())
+        assert bool(np.asarray(vis)[0])
+
+    def test_project_lines_gates_oblique_view(self):
+        """Viewed from ~90 deg off the stored mean direction, the line must
+        be gated (MapPoint::isInFrustum viewCos < 0.5 twin)."""
+        import jax.numpy as jnp
+
+        from plslam_tpu.geometry import se3
+
+        tr, m = self._tracker_with_line()
+        # camera to the side of the line, looking at it: view direction from
+        # (2.5, 0, 2) to midpoint (0,0,2) is -x, perpendicular to ln_normal
+        ang = -np.pi / 2
+        R = np.array([
+            [np.cos(ang), 0, np.sin(ang)],
+            [0, 1, 0],
+            [-np.sin(ang), 0, np.cos(ang)],
+        ])
+        Twc = np.eye(4, dtype=np.float32)
+        Twc[:3, :3] = R
+        Twc[:3, 3] = [2.5, 0.0, 2.0]
+        Tcw = jnp.asarray(np.linalg.inv(Twc).astype(np.float32))
+        _, _, vis = tr._project_lines(m, Tcw)
+        assert not bool(np.asarray(vis)[0])
+
+    def test_project_lines_gates_out_of_band_distance(self):
+        """Observed from 5x the creation distance, the scale band must gate
+        the line (dist > 1.2 * dmax)."""
+        import jax.numpy as jnp
+
+        from plslam_tpu.geometry import se3
+
+        tr, m = self._tracker_with_line()
+        Tcw = jnp.asarray(np.diag([1, 1, 1, 1]).astype(np.float32)).at[2, 3].set(8.0)
+        # camera at z=-8 looking forward: midpoint distance 10 > 1.2*2.2
+        _, _, vis = tr._project_lines(m, Tcw)
+        assert not bool(np.asarray(vis)[0])
+
+    def test_refresh_lines_updates_normal_and_band(self):
+        """After _refresh_lines, ln_normal points from the observing
+        keyframes toward the line and the band brackets the distance."""
+        import jax
+
+        import jax.numpy as jnp
+
+        from plslam_tpu.pipeline.mapping import LocalMapper
+
+        tr, m = self._tracker_with_line()
+        # two KFs at origin observing keyline 0 bound to map line 0
+        m = m._replace(
+            kf_valid=m.kf_valid.at[0].set(True).at[1].set(True),
+            kf_pose=m.kf_pose.at[0].set(jnp.eye(4)).at[1].set(jnp.eye(4)),
+            kf_ln_idx=m.kf_ln_idx.at[0, 0].set(0).at[1, 0].set(0),
+            kf_ln_valid=m.kf_ln_valid.at[0, 0].set(True).at[1, 0].set(True),
+            kf_ln_desc=m.kf_ln_desc.at[0, 0].set(7).at[1, 0].set(7),
+            # stale values the refresh must fix
+            ln_normal=m.ln_normal.at[0].set(jnp.asarray([1.0, 0, 0])),
+            ln_dist=m.ln_dist.at[0].set(jnp.asarray([99.0, 100.0])),
+        )
+        mapper = LocalMapper(tr, enable_ba=False)
+        m2 = mapper._refresh_lines(m, jnp.int32(0))
+        n = np.asarray(m2.ln_normal[0])
+        assert n[2] > 0.95, n  # points along +z toward the line
+        lo, hi = np.asarray(m2.ln_dist[0])
+        assert lo < 2.0 < hi * 1.2 + 1e-3, (lo, hi)
+        assert (np.asarray(m2.ln_desc[0]) == 7).all()

@@ -113,6 +113,14 @@ class TestLineBA:
 
         K_np = np.asarray(tr.K)
         n_kf = int(m.n_kf)
+        # wipe the tracker's own lines first (device LSD populates real
+        # lines during tracking; their observations must not constrain the
+        # slots this test overwrites with synthetic ground truth)
+        m = m._replace(
+            ln_valid=jnp.zeros_like(m.ln_valid),
+            kf_ln_valid=jnp.zeros_like(m.kf_ln_valid),
+            kf_ln_idx=jnp.full_like(m.kf_ln_idx, -1),
+        )
         sw = rng.normal(0, 0.4, (n_lines, 3)) + np.array([0.0, 0.0, 3.0])
         ew = sw + rng.normal(0, 0.6, (n_lines, 3))
         kf_ln_obs = np.asarray(m.kf_ln_obs).copy()
