@@ -67,12 +67,14 @@ def main():
 
     slam = System(settings, use_local_mapping=not args.no_ba)
     times = []
+    kf_frame = []  # did this frame insert a keyframe (mapper chain ran)?
     n_tracked = 0
     for i in range(seq.n_frames):
         gray, depth, t = seq.frame(i)
         t0 = time.perf_counter()
         Tcw = slam.track_rgbd(gray, depth, t)
         times.append(time.perf_counter() - t0)
+        kf_frame.append(slam.last_frame_was_kf)
         n_tracked += Tcw is not None
         if i % 20 == 0:
             print(
@@ -90,6 +92,19 @@ def main():
     print(f"tracked {n_tracked}/{seq.n_frames} frames")
     print(f"median tracking time: {np.median(times_ms):.2f} ms")
     print(f"mean tracking time:   {times_ms.mean():.2f} ms")
+    # keyframe-vs-ordinary latency split: measures how well the async
+    # mapper dispatch keeps keyframe frames from stalling the loop
+    t_arr = np.array(times[2:]) * 1e3
+    kf_arr = np.array(kf_frame[2:], bool)
+    if kf_arr.any() and (~kf_arr).any():
+        def pct(x, q):
+            return float(np.percentile(x, q))
+        print(
+            f"latency p50/p99 non-KF: {pct(t_arr[~kf_arr], 50):.2f}/"
+            f"{pct(t_arr[~kf_arr], 99):.2f} ms | KF frames: "
+            f"{pct(t_arr[kf_arr], 50):.2f}/{pct(t_arr[kf_arr], 99):.2f} ms "
+            f"({int(kf_arr.sum())} KFs)"
+        )
     if gt is not None:
         from plslam_tpu.io.trajectory import load_trajectory_tum
 

@@ -339,9 +339,21 @@ class LocalMapper:
         matched &= pos_new < jnp.sum(~m.ln_valid)
         new_id = free_order[jnp.clip(pos_new, 0)].astype(jnp.int32)
         sid = jnp.where(matched, new_id, tr.max_maplines)
+        # viewing normal + scale band at the midpoint (MapLine ctor twin of
+        # UpdateNormalAndDepth; anchored at the creating KF k)
+        ln_mid_w = 0.5 * (sw_w + ew_w)
+        ln_dvec = ln_mid_w - c1
+        ln_d = jnp.linalg.norm(ln_dvec, axis=-1)
+        ln_nrm = ln_dvec / jnp.clip(ln_d, 1e-6)[:, None]
+        ln_dmax = ln_d
+        ln_dmin = ln_dmax / float(tr.s.scale_factor ** (tr.n_levels - 1))
         m = m._replace(
             ln_sw=m.ln_sw.at[sid].set(sw_w, mode="drop"),
             ln_ew=m.ln_ew.at[sid].set(ew_w, mode="drop"),
+            ln_normal=m.ln_normal.at[sid].set(ln_nrm, mode="drop"),
+            ln_dist=m.ln_dist.at[sid].set(
+                jnp.stack([ln_dmin, ln_dmax], -1), mode="drop"
+            ),
             ln_desc=m.ln_desc.at[sid].set(m.kf_ln_desc[k], mode="drop"),
             ln_valid=m.ln_valid.at[sid].set(True, mode="drop"),
             ln_ref_kf=m.ln_ref_kf.at[sid].set(k, mode="drop"),
@@ -515,6 +527,90 @@ class LocalMapper:
             ),
         )
 
+    # ------------------------------------------------------------ line refresh
+    @functools.cached_property
+    def _refresh_lines(self):
+        return jax.jit(self._refresh_lines_impl)
+
+    def _refresh_lines_impl(self, m: MapState, k) -> MapState:
+        """MapLine::UpdateAverageDir + ComputeDistinctiveDescriptors — the
+        line twin of _refresh_impl (the reference mirrors the MapPoint API in
+        src/MapLine.cc, SURVEY.md §3.1): min-median LBD descriptor over the
+        observing covisible keyframes, mean midpoint viewing direction, and
+        the midpoint distance band consumed by _project_lines' gates."""
+        tr = self.tracker
+        L, Kc = tr.max_lines, min(32, tr.max_kf)
+        cov = covisibility(m)
+        score = jnp.where(m.kf_valid, cov[k], -1).at[k].set(jnp.int32(2**30))
+        _, kf_sel = jax.lax.top_k(score, Kc)  # [Kc] KF ids, k first
+        kf_ok = jnp.take(score, kf_sel) > 0
+
+        row_ln = m.kf_ln_idx[k]
+        sel_ok = (row_ln >= 0) & m.kf_ln_valid[k]
+        sel = jnp.full(tr.max_maplines + 1, -1, jnp.int32).at[
+            jnp.where(sel_ok, row_ln, tr.max_maplines)
+        ].set(jnp.arange(L, dtype=jnp.int32), mode="drop")[:-1]
+
+        ln_c = m.kf_ln_idx[kf_sel]  # [Kc, L]
+        ok_c = (ln_c >= 0) & m.kf_ln_valid[kf_sel] & kf_ok[:, None]
+        slot_c = jnp.where(ok_c, sel[jnp.clip(ln_c, 0)], -1)
+        kc_ids = jnp.broadcast_to(
+            jnp.arange(Kc, dtype=jnp.int32)[:, None], (Kc, L)
+        )
+        s_flat = jnp.where(slot_c >= 0, slot_c, L).reshape(-1)
+        k_flat = kc_ids.reshape(-1)
+        D = jnp.zeros((L + 1, Kc, 32), jnp.uint8).at[s_flat, k_flat].set(
+            m.kf_ln_desc[kf_sel].reshape(-1, 32), mode="drop"
+        )[:L]
+        Msk = jnp.zeros((L + 1, Kc), bool).at[s_flat, k_flat].max(
+            (slot_c >= 0).reshape(-1), mode="drop"
+        )[:L]
+
+        pm1 = brief.unpack_bits_pm1(D.reshape(-1, 32)).reshape(L, Kc, 256)
+        dot = jax.lax.dot_general(
+            pm1.astype(jnp.bfloat16), pm1.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ham = (256.0 - dot) * 0.5
+        pair_ok = Msk[:, :, None] & Msk[:, None, :]
+        dist = jnp.where(pair_ok, ham, jnp.float32(1e9))
+        srt = jnp.sort(dist, axis=-1)
+        cnt = jnp.sum(Msk, -1)
+        med_i = jnp.clip((cnt - 1) // 2, 0)[:, None, None]
+        med = jnp.take_along_axis(srt, jnp.broadcast_to(med_i, (L, Kc, 1)), -1)[..., 0]
+        best_row = jnp.argmin(jnp.where(Msk, med, jnp.float32(1e9)), -1)
+        best_desc = jnp.take_along_axis(D, best_row[:, None, None], 1)[:, 0]
+        slot_of_row = jnp.clip(sel[jnp.clip(row_ln, 0)], 0)
+        write_ok = sel_ok & (cnt[slot_of_row] > 0)
+        sid = jnp.where(write_ok, row_ln, tr.max_maplines)
+        m = m._replace(
+            ln_desc=m.ln_desc.at[sid].set(best_desc[slot_of_row], mode="drop")
+        )
+
+        # UpdateAverageDir: mean midpoint viewing direction + distance band
+        Twc = jax.vmap(se3.inverse)(m.kf_pose[kf_sel])
+        centers = Twc[:, :3, 3]
+        mid_sel = 0.5 * (
+            m.ln_sw[jnp.clip(row_ln, 0)] + m.ln_ew[jnp.clip(row_ln, 0)]
+        )  # [L, 3]
+        dvec = mid_sel[:, None, :] - centers[None, :, :]
+        unit = dvec / jnp.clip(jnp.linalg.norm(dvec, axis=-1, keepdims=True), 1e-6)
+        slot_msk = Msk[slot_of_row]
+        nsum = jnp.sum(jnp.where(slot_msk[..., None], unit, 0.0), 1)
+        normal = nsum / jnp.clip(jnp.linalg.norm(nsum, axis=-1, keepdims=True), 1e-6)
+        dist_k = jnp.linalg.norm(mid_sel - centers[0], axis=-1)
+        dmax = dist_k
+        dmin = dmax / float(tr.s.scale_factor ** (tr.n_levels - 1))
+        has_obs = jnp.sum(slot_msk, -1) > 0
+        sid2 = jnp.where(sel_ok & has_obs, row_ln, tr.max_maplines)
+        return m._replace(
+            ln_normal=m.ln_normal.at[sid2].set(normal, mode="drop"),
+            ln_dist=m.ln_dist.at[sid2].set(
+                jnp.stack([dmin, dmax], -1), mode="drop"
+            ),
+        )
+
     # ------------------------------------------------------------ kf culling
     @functools.cached_property
     def _kf_cull(self):
@@ -564,6 +660,37 @@ class LocalMapper:
             pt_nobs=weighted_point_nobs(m), pt_ref_kf=pt_ref, ln_ref_kf=ln_ref
         ))
 
+    # fixed fan-out of the neighbour fuse pass (reference: 10 first-degree +
+    # 5 second-degree each, deduped — 12 covers the fixture distributions)
+    MAX_FUSE_TARGETS = 12
+
+    @functools.cached_property
+    def _targets(self):
+        """Device-side SearchInNeighbors target selection: 1st-degree top-10
+        + 2nd-degree top-5 covisible KFs, deduped, first MAX_FUSE_TARGETS.
+        -> (ids i32[T], flags bool[T]); disabled slots have flag False."""
+
+        def f(m: MapState, k):
+            tr = self.tracker
+            Kc = tr.max_kf
+            cov = covisibility(m)
+            row = jnp.where(m.kf_valid, cov[k], -1).at[k].set(-1)
+            v1, first = jax.lax.top_k(row, min(10, Kc))
+            ok1 = v1 >= C.COVIS_TH
+            rows2 = jnp.where(m.kf_valid[None, :], cov[first], -1)  # [10, K]
+            v2, sec = jax.lax.top_k(rows2, min(5, Kc))
+            ok2 = (v2 >= C.COVIS_TH) & ok1[:, None]
+            ids = jnp.concatenate([first, sec.reshape(-1)])
+            flags = jnp.concatenate([ok1, ok2.reshape(-1)])
+            mask = jnp.zeros(Kc + 1, bool).at[
+                jnp.where(flags, ids, Kc)
+            ].set(True, mode="drop")[:Kc].at[k].set(False)
+            idxs = jnp.where(mask, jnp.arange(Kc, dtype=jnp.int32), Kc)
+            sel = jnp.sort(idxs)[: self.MAX_FUSE_TARGETS]
+            return jnp.clip(sel, 0, Kc - 1), sel < Kc
+
+        return jax.jit(f)
+
     @functools.cached_property
     def _lm_mask_of_kf(self):
         def f(m: MapState, k):
@@ -576,8 +703,12 @@ class LocalMapper:
         return jax.jit(f)
 
     def process(self, m: MapState, kf_id: int) -> MapState:
-        import numpy as np
-
+        """Host entry after keyframe insertion. Every stage is a jitted
+        device program and kf_id arrives as a device scalar: this method
+        only DISPATCHES — it never blocks on device results, so the caller
+        can keep tracking the next frames while the mapper chain executes
+        (the async-dispatch analogue of the reference's LocalMapping
+        thread)."""
         k = jnp.int32(kf_id)
         m = self._cull(m, k)
         m = self._triangulate(m, k)
@@ -588,22 +719,22 @@ class LocalMapper:
             m = self._fuse(m, k, m.pt_valid)
             m = self._fuse_lines(m, k)
             # direction 2 (SearchInNeighbors ~500): the new KF's landmarks
-            # into its 1st- and 2nd-degree covisible neighbours
-            cov = np.asarray(covisibility(m))
-            first = np.argsort(-cov[kf_id])[:10]
-            first = first[cov[kf_id][first] >= C.COVIS_TH]
-            targets = set(int(x) for x in first)
-            for j in first:
-                sec = np.argsort(-cov[j])[:5]
-                targets |= set(int(x) for x in sec[cov[j][sec] >= C.COVIS_TH])
-            targets.discard(kf_id)
-            if targets:
-                lm_k = self._lm_mask_of_kf(m, k)
-                for j in sorted(targets)[:12]:
-                    m = self._fuse(m, jnp.int32(j), lm_k)
+            # into its 1st- and 2nd-degree covisible neighbours. Target
+            # selection runs ON DEVICE: a host-side numpy covisibility sort
+            # here would block the frame loop on the whole mapper chain
+            # (SURVEY.md §3.3 pipeline row — tracking must keep dispatching
+            # while mapping executes; the reference overlaps via threads,
+            # we overlap via async dispatch, so the host must never sync).
+            tids, tflags = self._targets(m, k)
+            lm_k = self._lm_mask_of_kf(m, k)
+            for i in range(self.MAX_FUSE_TARGETS):
+                # a disabled slot passes an all-false candidate mask: the
+                # fuse program is a no-op on the map
+                m = self._fuse(m, tids[i], lm_k & tflags[i])
         if self._ba is not None:
             m = self._ba.run(m, k)
         m = self._refresh(m, k)
+        m = self._refresh_lines(m, k)
         if self.enable_kf_culling:
             m = self._kf_cull(m, k)
         return m

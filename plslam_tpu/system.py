@@ -80,6 +80,8 @@ class System:
             self._reloc = Relocalizer(self.tracker)
         self.localization_only = False
         self.n_loops_closed = 0
+        self._pending_rebase: np.ndarray | None = None
+        self.last_frame_was_kf = False
         # per-frame structured log (SURVEY.md §6 metrics row): one JSON line
         # per frame — the observability the reference only had via Pangolin
         self._log_fh = None
@@ -116,8 +118,17 @@ class System:
             jnp.asarray(depth, jnp.float32),
             ln_sp, ln_ep, ln_valid,
         )
+        # resolve last keyframe's deferred anchor rebase NOW, before a step
+        # that could insert a new keyframe into a recycled slot is
+        # dispatched (the one-frame deferral lets the mapper chain overlap
+        # this frame's host prep + build dispatch instead of blocking the
+        # frame loop at the previous keyframe)
+        if self._pending_rebase is not None:
+            self._rebase_culled_anchors(self._pending_rebase)
+            self._pending_rebase = None
         self.state, out = self.tracker.step(self.state, frame)
         new_kf = bool(out.new_kf)
+        self.last_frame_was_kf = new_kf  # for latency attribution (bench)
         if new_kf:
             self._kf_timestamps[int(out.kf_id)] = float(timestamp)
         prev_kf_valid = (
@@ -134,7 +145,7 @@ class System:
             if closed:
                 self.n_loops_closed = self._loop.n_loops_closed
         if prev_kf_valid is not None:
-            self._rebase_culled_anchors(prev_kf_valid)
+            self._pending_rebase = prev_kf_valid  # resolved next frame
         if new_kf and self._loop is None and not self.localization_only:
             # keep the reloc BoW database current (LoopCloser.detect does
             # this itself when loop closing is on)
@@ -196,7 +207,14 @@ class System:
         pos = np.asarray(self.state.m.pt_pos)
         return pos[lm[lm >= 0]]
 
+    def _flush_pending(self):
+        """Resolve a deferred culled-anchor rebase (see track_rgbd)."""
+        if self._pending_rebase is not None:
+            self._rebase_culled_anchors(self._pending_rebase)
+            self._pending_rebase = None
+
     def reset(self):
+        self._pending_rebase = None  # replay log is cleared below anyway
         self.state = self.tracker.init_state()
         self._timestamps, self._rel_poses = [], []
         self._ref_ids, self._tracked = [], []
@@ -205,6 +223,7 @@ class System:
         self.n_loops_closed = 0
 
     def shutdown(self):
+        self._flush_pending()
         if hasattr(self, "_jax"):
             self._jax.block_until_ready(self.state)
         if self._log_fh is not None:
@@ -224,6 +243,7 @@ class System:
         for tracking-only replay against a prebuilt map."""
         from plslam_tpu.io.snapshot import load_state
 
+        self._flush_pending()  # rebase against the OUTGOING map's poses
         was_loc = self.localization_only
         self.state = load_state(path, self.state)
         # the snapshot carries its own only_tracking flag — re-assert the
@@ -261,6 +281,7 @@ class System:
                 self._ref_ids[i] = p
 
     def save_trajectory_tum(self, path: str | Path):
+        self._flush_pending()
         traj_io.save_trajectory_tum(
             path,
             self._timestamps,
