@@ -161,13 +161,17 @@ class ORBExtractor:
         # its IC pass predates its blur pass (src/ORBextractor.cc ~1050).
         blur_flat = blurred.reshape(Lv * H, -1)
         if jax.default_backend() == "tpu" and not os.environ.get("PLSLAM_NO_PALLAS"):
-            # VMEM-resident stack + scalar-prefetched coords: the XLA
-            # dynamic-slice sweep costs ~1.2 us/patch of HBM round-trips
+            # pipelined per-keypoint aligned HBM->VMEM DMAs with
+            # scalar-prefetched coords + in-register rotate: the XLA
+            # dynamic-slice sweep costs ~1.2 us/patch of serialized HBM
+            # round-trips (~1.7 ms/frame, device trace)
             blur_patch = patches.gather_patches_pallas(blur_flat, yx_flat, D)
+            ctr = D // 2  # window top-left is (y - D//2, x - D//2)
         else:
             blur_patch = patches.gather_patches(blur_flat, yx_flat, D)
-        ang = orientation.ic_angle(blur_patch)
-        desc = brief.steered_brief(blur_patch, ang)
+            ctr = None
+        ang = orientation.ic_angle(blur_patch, center=ctr)
+        desc = brief.steered_brief(blur_patch, ang, center=ctr)
         scales = jnp.asarray(self.scales, jnp.float32)
         uv0 = (
             (yx_f[:, ::-1].astype(jnp.float32) + sub[:, ::-1])

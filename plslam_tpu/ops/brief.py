@@ -48,7 +48,7 @@ def _pow2():
     return (1 << np.arange(8, dtype=np.uint32)).astype(np.uint32)
 
 
-def steered_brief(patches, angles):
+def steered_brief(patches, angles, center: int | None = None):
     """patches f32[K, 39, 39] (blurred level image, centered on keypoints),
     angles f32[K] radians -> desc u8[K, 32].
 
@@ -69,9 +69,10 @@ def steered_brief(patches, angles):
     p = jnp.concatenate([pa, pb], 0)  # [512, 2] both halves in one pass
     x = p[:, 0].astype(jnp.float32)[None, :]
     y = p[:, 1].astype(jnp.float32)[None, :]
-    # center at (Dr//2, Dr//2): square patches are centered; the Pallas
-    # gather's rectangular [39, 48] patches only overread to the RIGHT
-    c = patches.shape[-2] // 2
+    # center defaults to (Dr//2, Dr//2) for centered square patches; the
+    # Pallas gather's [rows, 128] windows overread right/below and pass
+    # their true center (size//2) explicitly
+    c = patches.shape[-2] // 2 if center is None else center
     rows = jnp.round(x * sa[:, None] + y * ca[:, None]).astype(jnp.int32) + c
     cols = jnp.round(x * ca[:, None] - y * sa[:, None]).astype(jnp.int32) + c
     Dr, Dc = patches.shape[-2], patches.shape[-1]

@@ -71,8 +71,17 @@ def _bilinear(img, x, y):
     return (1 - ay) * ((1 - ax) * v00 + ax * v01) + ay * ((1 - ax) * v10 + ax * v11)
 
 
-def lbd_vector(gx, gy, sp, ep, valid):
-    """Float LBD band vectors. sp/ep f32[L, 2] (x, y) -> f32[L, BANDS*4]."""
+def lbd_vector(gx, gy, sp, ep, valid, exact: bool = False):
+    """Float LBD band vectors. sp/ep f32[L, 2] (x, y) -> f32[L, BANDS*4].
+
+    exact=False (the pipeline default) packs (gx, gy) as two bf16 halves of
+    one u32 image and nearest-neighbor samples it with a SINGLE flat gather
+    per point — 8x fewer gathered elements than the bilinear path (4 corners
+    x 2 images), which measured 5.9 ms/frame on the TPU device trace at the
+    128-line capacity. Band mean/std statistics over 24x7 samples are
+    insensitive to both the 0.5 px snap and the bf16 mantissa (the
+    cross-frame stability test runs on this path). exact=True keeps f32
+    bilinear — the NumPy-oracle contract."""
     d = ep - sp
     length = jnp.linalg.norm(d, axis=-1, keepdims=True)
     d = d / jnp.clip(length, 1e-6)
@@ -85,8 +94,27 @@ def lbd_vector(gx, gy, sp, ep, valid):
     pts = base[:, :, None, :] + n[:, None, None, :] * off[None, None, :, None]
     x, y = pts[..., 0], pts[..., 1]  # [L, S, B*W]
 
-    gxs = _bilinear(gx, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
-    gys = _bilinear(gy, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
+    if exact:
+        gxs = _bilinear(gx, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
+        gys = _bilinear(gy, x.reshape(-1), y.reshape(-1)).reshape(x.shape)
+    else:
+        H, W = gx.shape
+        hi = jax.lax.bitcast_convert_type(
+            gx.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            gy.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        packed = ((hi << 16) | lo).reshape(-1)
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+        v = packed[(yi * W + xi).reshape(-1)]
+        gxs = jax.lax.bitcast_convert_type(
+            (v >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32).reshape(x.shape)
+        gys = jax.lax.bitcast_convert_type(
+            (v & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32).reshape(x.shape)
     g_par = gxs * d[:, None, None, 0] + gys * d[:, None, None, 1]
     g_prp = gxs * n[:, None, None, 0] + gys * n[:, None, None, 1]
 
@@ -104,10 +132,24 @@ def lbd_vector(gx, gy, sp, ep, valid):
     return jnp.where(valid[:, None], v, 0.0)
 
 
-def lbd_descriptor(gx, gy, sp, ep, valid):
+@functools.lru_cache(maxsize=1)
+def _pair_sign_matrix():
+    """S f32[BANDS*4, N_BITS] with column b = e_ii[b] - e_jj[b]: the pair
+    comparisons v[ii] > v[jj] become sign(v @ S) — one MXU matmul instead
+    of two fancy-index gathers (each gather op costs ~2 ms on this TPU's
+    lowering regardless of size, device trace). The sign of an IEEE
+    subtraction is exact, so bits are identical to the gather form."""
+    ii, jj = _pairs()
+    S = np.zeros((BANDS * 4, N_BITS), np.float32)
+    S[ii, np.arange(N_BITS)] += 1.0
+    S[jj, np.arange(N_BITS)] -= 1.0
+    return S
+
+
+def lbd_descriptor(gx, gy, sp, ep, valid, exact: bool = False):
     """-> u8[L, 32] binary LBD."""
-    v = lbd_vector(gx, gy, sp, ep, valid)
-    ii, jj = (jnp.asarray(a) for a in _pairs())
-    bits = (v[:, ii] > v[:, jj]).astype(jnp.uint32).reshape(v.shape[0], 32, 8)
+    v = lbd_vector(gx, gy, sp, ep, valid, exact=exact)
+    diff = v @ jnp.asarray(_pair_sign_matrix())  # [L, N_BITS]
+    bits = (diff > 0).astype(jnp.uint32).reshape(v.shape[0], 32, 8)
     pw = jnp.asarray((1 << np.arange(8, dtype=np.uint32)).astype(np.uint32))
     return jnp.sum(bits * pw[None, None, :], -1).astype(jnp.uint8)

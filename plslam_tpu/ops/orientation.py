@@ -24,16 +24,16 @@ def _moment_masks(radius: int):
     return (xs * circ).astype(np.float32), (ys * circ).astype(np.float32)
 
 
-def ic_angle(patches, radius: int = C.HALF_PATCH_SIZE):
+def ic_angle(patches, radius: int = C.HALF_PATCH_SIZE, center: int | None = None):
     """patches f32[K, dr, dc] -> rad f32[K].
 
-    The keypoint center sits at (dr//2, dr//2): square patches are centered,
-    and the Pallas gather's rectangular [39, 48] patches only overread to
-    the RIGHT (gather_patches_pallas), so the row-derived center holds for
-    both."""
+    `center` is the keypoint's (row, col) position in the patch (same for
+    both axes); defaults to dr//2 — correct for centered square patches.
+    The Pallas gather's [rows, 128] windows overread right/below, so its
+    consumers pass center=size//2 explicitly."""
     d = 2 * radius + 1
-    if patches.shape[-1] != d or patches.shape[-2] != d:
-        c = patches.shape[-2] // 2
+    if patches.shape[-1] != d or patches.shape[-2] != d or center is not None:
+        c = patches.shape[-2] // 2 if center is None else center
         patches = patches[:, c - radius : c + radius + 1, c - radius : c + radius + 1]
     mx, my = (jnp.asarray(a) for a in _moment_masks(radius))
     m10 = jnp.sum(patches * mx, axis=(-2, -1))

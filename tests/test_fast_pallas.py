@@ -81,7 +81,7 @@ class TestPallasPatchGather:
                 jnp.asarray(yx), 39,
             )
         )
-        np.testing.assert_array_equal(ours[:, :, :39], ref)
+        np.testing.assert_array_equal(ours[:, :39, :39], ref)
 
     def test_center_convention(self, rng):
         """Patch center must land at (size//2, size//2) of the output."""
