@@ -78,11 +78,20 @@ def steered_brief(patches, angles, center: int | None = None):
     Dr, Dc = patches.shape[-2], patches.shape[-1]
     R = (rows[..., None] == jnp.arange(Dr, dtype=jnp.int32)).astype(jnp.bfloat16)
     Cm = (cols[..., None] == jnp.arange(Dc, dtype=jnp.int32)).astype(jnp.bfloat16)
-    RP = jnp.einsum(
-        "ksr,krc->ksc", R, patches.astype(jnp.bfloat16),
-        preferred_element_type=jnp.bfloat16,
-    )
-    vals = jnp.sum(RP * Cm, -1)  # [K, 512]; one-hot sum = exact bf16 pixel
+    # hi + residual split: one bf16 matmul loses ~8 mantissa bits, and the
+    # comparisons below flip on close pixel pairs (near-tie bits are ~2% of
+    # the descriptor; enough to cost ~3 tracked frames on the tiny-caps
+    # soak). Two rank-1 passes recover ~16 bits at double the (cheap) MXU
+    # cost; the one-hot selectors make each pass an exact pixel readout.
+    p32 = patches.astype(jnp.float32)
+    p_hi = p32.astype(jnp.bfloat16)
+    p_lo = (p32 - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    vals = jnp.float32(0)
+    for part in (p_hi, p_lo):
+        RP = jnp.einsum(
+            "ksr,krc->ksc", R, part, preferred_element_type=jnp.float32,
+        )
+        vals = vals + jnp.sum(RP * Cm.astype(jnp.float32), -1)  # [K, 512]
     ia, ib = vals[:, :N_BITS], vals[:, N_BITS:]
     bits = (ia < ib).astype(jnp.uint32).reshape(-1, 32, 8)
     return jnp.sum(bits * jnp.asarray(_pow2())[None, None, :], axis=-1).astype(jnp.uint8)

@@ -138,17 +138,23 @@ def detect_lines_device(
     # 5. bidirectional endpoint walk on the support map of the anchor's bin
     b_of = bbest[yx[:, 0], yx[:, 1]]  # [K]
     d_of = dirs[b_of]  # [K, 2] (dx, dy)
-    sup_flat = sup.reshape(N_DIRS * H, W)
+    # materialize the support map before the walk gathers: without the
+    # barrier, XLA fuses the whole [B, H, W] support/shift chain INTO the
+    # gather's kCustom fusion and re-executes it per gather (1.4 ms/frame,
+    # device trace); both walk directions share ONE gather for the same
+    # reason
+    sup_1d = jax.lax.optimization_barrier(sup.reshape(-1))
     ts = jnp.arange(1, WALK + 1, dtype=jnp.float32)
+    t_signed = jnp.concatenate([ts, -ts])  # [2*WALK]
 
-    def side_extent(sign):
-        # sample positions [K, WALK]
-        px = yx[:, 1, None].astype(jnp.float32) + sign * ts[None] * d_of[:, 0, None]
-        py = yx[:, 0, None].astype(jnp.float32) + sign * ts[None] * d_of[:, 1, None]
-        xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
-        rows = b_of[:, None] * H + yi
-        good = sup_flat.reshape(-1)[rows * W + xi] > 0  # [K, WALK]
+    # sample positions [K, 2*WALK]
+    px = yx[:, 1, None].astype(jnp.float32) + t_signed[None] * d_of[:, 0, None]
+    py = yx[:, 0, None].astype(jnp.float32) + t_signed[None] * d_of[:, 1, None]
+    xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+    good_all = sup_1d[(b_of[:, None] * H + yi) * W + xi] > 0  # [K, 2*WALK]
+
+    def side_extent(good):
         # consecutive-empty run ending at step t, scan-free:
         # run[t] = t - (last good step <= t)
         tidx = jnp.arange(1, WALK + 1, dtype=jnp.int32)
@@ -159,8 +165,8 @@ def detect_lines_device(
         # extent = farthest supported sample before the segment dies
         return jnp.max(jnp.where(alive & good, ts[None], 0.0), 1)  # [K] px
 
-    t_pos = side_extent(1.0)
-    t_neg = side_extent(-1.0)
+    t_pos = side_extent(good_all[:, :WALK])
+    t_neg = side_extent(good_all[:, WALK:])
     length = t_pos + t_neg
     diag = float(np.hypot(H, W))
     min_len = max(min_length_frac * diag, float(LINE_INTEG))
