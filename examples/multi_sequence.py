@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--map", action="store_true",
+                    help="run the vmapped mapper chain too (full offline "
+                         "mapping: triangulation + fuse + local BA per KF)")
     ap.add_argument("--out-prefix", default="/tmp/multiseq")
     args = ap.parse_args()
 
@@ -55,6 +58,12 @@ def main():
     fb = FrameBuilder(seqs[0].settings)
     tracker = Tracker(seqs[0].settings, max_pts=8192, max_kf=64)
     bt = BatchedTracker(tracker, batch=B)
+    bm = None
+    if args.map:
+        from plslam_tpu.parallel.batch import BatchedMapper
+        from plslam_tpu.pipeline.mapping import LocalMapper
+
+        bm = BatchedMapper(LocalMapper(tracker))
     state = bt.init_state()
 
     logs = [[] for _ in range(B)]  # (t, rel_pose, ref, tracked)
@@ -64,6 +73,8 @@ def main():
         batch = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
         t0 = time.perf_counter()
         state, out = bt.step(state, batch)
+        if bm is not None:
+            state = state._replace(m=bm.process(state.m, out.kf_id, out.new_kf))
         jax.block_until_ready(out.Tcw)
         if i > 0:
             t_total += time.perf_counter() - t0

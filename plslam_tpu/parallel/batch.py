@@ -79,3 +79,32 @@ class BatchedTracker:
             return vstep(state, frames)
 
         return sharded_step
+
+
+class BatchedMapper:
+    """vmapped LocalMapper chain over the sequence axis — config 5 is
+    batched multi-sequence OFFLINE MAPPING, not just tracking (SURVEY.md
+    §3.3 multi-sequence row; the round-2 gap was that only the tracking
+    step was batched).
+
+    The live System dispatches mapper stages per keyframe as separate
+    device programs (LocalMapper.process docstring); here sequences insert
+    keyframes at different frames, so the WHOLE chain (cull, triangulate,
+    fuse, local BA, refresh, KF-cull) runs for every sequence in one
+    vmapped program and a per-sequence `do` flag masks the result back to
+    the input map where that sequence created no keyframe — dense compute,
+    masked effect, the TPU-idiomatic branch. Exact-identity masking:
+    jnp.where selects the old leaf elementwise, so a masked sequence's map
+    is bit-identical to its input."""
+
+    def __init__(self, mapper, mesh: Mesh | None = None):
+        self.mapper = mapper
+        self.mesh = mesh
+
+    @functools.cached_property
+    def process(self):
+        def masked(m, k, do):
+            m2 = self.mapper.process(m, jnp.int32(k))
+            return jax.tree.map(lambda a, b: jnp.where(do, a, b), m2, m)
+
+        return jax.jit(jax.vmap(masked))

@@ -69,6 +69,90 @@ def test_batched_tracker_sharded_two_steps(tiny_setup):
     assert len(state.m.pt_pos.devices()) == 8
 
 
+def test_batched_mapper_matches_unbatched():
+    """Config 5 is batched OFFLINE MAPPING: one vmapped-chain call
+    (triangulate + fuse + local BA + refresh + culling) over two DISTINCT
+    map states must equal the solo mapper run on each row.
+
+    The comparison is open-loop on purpose: the two maps are produced by
+    ordinary solo tracking first, then the vmapped chain and the solo chain
+    process the SAME inputs once. (A closed-loop 8-frame comparison is
+    chaotic — ~1e-6 vmap-vs-solo fusion drift flips pose-opt inlier gates
+    and the runs legitimately diverge; see the round-3 session log.)"""
+    from plslam_tpu.parallel.batch import BatchedMapper
+    from plslam_tpu.pipeline.mapping import LocalMapper
+
+    n_frames = 5
+    seqs = [SyntheticSequence(n_frames=n_frames, height=192, width=256, seed=s)
+            for s in (3, 7)]
+    settings = dataclasses.replace(seqs[0].settings, n_features=120)
+    builder = FrameBuilder(settings, capacity=128, line_capacity=16)
+    tracker = Tracker(
+        settings, max_kf=8, max_pts=512, max_feat=128, max_lines=16,
+        max_maplines=64,
+    )
+    mapper = LocalMapper(tracker)
+    bm = BatchedMapper(mapper)
+
+    # build two distinct pre-chain map states by solo tracking; snapshot the
+    # map right before each chain invocation and keep the last snapshot
+    step = jax.jit(tracker._step)
+    pend = []  # (map_before_chain, kf_id)
+    for seq in seqs:
+        st = tracker.init_state()
+        snap = None
+        for i in range(n_frames):
+            g, d, _ = seq.frame(i)
+            st, out = step(st, builder(jnp.asarray(g), jnp.asarray(d)))
+            if bool(out.new_kf):
+                snap = (st.m, int(out.kf_id))
+                st = st._replace(m=mapper.process(st.m, int(out.kf_id)))
+        assert snap is not None, "fixture produced no keyframe"
+        pend.append(snap)
+
+    want = [jax.tree.map(np.asarray, mapper.process(m, k)) for m, k in pend]
+
+    bmaps = jax.tree.map(lambda *xs: jnp.stack(xs), *[m for m, _ in pend])
+    got = bm.process(
+        bmaps,
+        jnp.asarray([k for _, k in pend], jnp.int32),
+        jnp.asarray([True, True]),
+    )
+    for b, solo in enumerate(want):
+        got_b = jax.tree.leaves(jax.tree.map(lambda x: np.asarray(x[b]), got))
+        for g_, w_ in zip(got_b, jax.tree.leaves(solo)):
+            # vmapped local BA fuses in a different order than the solo
+            # program — float32 drift up to ~5e-4 on metre-scale positions
+            np.testing.assert_allclose(g_, w_, rtol=1e-3, atol=2e-3)
+
+
+def test_batched_mapper_masked_is_identity():
+    """do=False must return the input map bit-identically (the masked
+    no-op is what lets sequences insert keyframes at different frames)."""
+    from plslam_tpu.parallel.batch import BatchedMapper
+    from plslam_tpu.pipeline.mapping import LocalMapper
+
+    seq = SyntheticSequence(n_frames=2, height=192, width=256)
+    settings = dataclasses.replace(seq.settings, n_features=120)
+    builder = FrameBuilder(settings, capacity=128, line_capacity=16)
+    tracker = Tracker(
+        settings, max_kf=8, max_pts=512, max_feat=128, max_lines=16,
+        max_maplines=64,
+    )
+    bm = BatchedMapper(LocalMapper(tracker))
+    bt = BatchedTracker(tracker, batch=2)
+    bstate = bt.init_state()
+    g, d, _ = seq.frame(0)
+    frame = builder(jnp.asarray(g), jnp.asarray(d))
+    batch = jax.tree.map(lambda x: jnp.stack([x, x]), frame)
+    bstate, bout = bt.step(bstate, batch)
+    m2 = bm.process(
+        bstate.m, bout.kf_id, jnp.asarray([False, False])
+    )
+    for a, b in zip(jax.tree.leaves(m2), jax.tree.leaves(bstate.m)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_batched_matches_unbatched(tiny_setup):
     """Sharded batched run computes the same poses as the plain single-seq
     tracker (broadcast inputs -> every row identical to the unbatched run)."""
