@@ -6,7 +6,8 @@ ComputeSim3 (~200), CorrectLoop (~400) — is deeply host-sequential and RARE,
 so the orchestration stays on the host (SURVEY.md §10 hard-part 5) while
 every inner computation is a jitted device program:
 
-  * BoW: seeded-codebook quantization + L1 scoring (loopclosing/vocab.py).
+  * BoW: trained-codebook quantization + TF-IDF L1 scoring
+    (loopclosing/vocab.py; k-medians asset, seeded LSH fallback).
   * DetectLoop: score vs all keyframes, gated by the minimum score among
     the current KF's covisible neighbours; candidate covisibility groups
     must be consistent across LOOP_CONSISTENT_GROUPS consecutive keyframes.
