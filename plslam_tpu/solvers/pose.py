@@ -213,9 +213,6 @@ def pose_optimization(
             cost = cost + 1e7 * jnp.sum(active_lines & lines.valid & ~okl)
         return H, b, cost
 
-    def cost_only(Tcw, active_pts, active_lines, robust):
-        return build_system(Tcw, active_pts, active_lines, robust)[2]
-
     def lm_round(Tcw, active_pts, active_lines, robust, n_iters):
         """Statically UNROLLED LM iterations. The reference runs 10 per
         round, but with exact batched GN algebra the solve converges in 2-3;
@@ -223,22 +220,31 @@ def pose_optimization(
         (~20 ms/frame of pure dispatch latency measured), so the schedule is
         compressed and unrolled for fusion. The 4-round chi2
         re-classification structure (the part that matters for robustness)
-        is preserved by the caller."""
-        H0, b0, cost0 = build_system(Tcw, active_pts, active_lines, robust)
-        lam = _TAU * jnp.max(jnp.abs(jnp.diag(H0)))
+        is preserved by the caller.
+
+        ONE residual/Jacobian pass per iteration: (H, b, cost) at the
+        current linearization point are CARRIED — the candidate evaluation
+        build_system(T_new) either becomes next iteration's system (accept:
+        same linearization point) or is discarded (reject: the carried
+        system is still the current one). Identical decisions/values to the
+        textbook two-pass form, at half the residual passes."""
+        H, b, cost = build_system(Tcw, active_pts, active_lines, robust)
+        lam = _TAU * jnp.max(jnp.abs(jnp.diag(H)))
         nu = jnp.float32(2.0)
-        cost = cost0
         for _ in range(n_iters):
-            H, b, _ = build_system(Tcw, active_pts, active_lines, robust)
             # g2o OptimizationAlgorithmLevenberg: ADDITIVE damping H + lam*I
             # with lam0 = tau * max(diag H) (multiplicative diag scaling
             # over-damps by ~maxdiag/mindiag and stalls convergence)
             Hd = H + (lam + 1e-9) * jnp.eye(6, dtype=H.dtype)
             delta = jnp.linalg.solve(Hd, b)
             T_new = se3.compose(se3.exp(delta), Tcw)
-            new_cost = cost_only(T_new, active_pts, active_lines, robust)
+            H_new, b_new, new_cost = build_system(
+                T_new, active_pts, active_lines, robust
+            )
             accept = (new_cost < cost) & jnp.all(jnp.isfinite(delta))
             Tcw = jnp.where(accept, T_new, Tcw)
+            H = jnp.where(accept, H_new, H)
+            b = jnp.where(accept, b_new, b)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, lam / 3.0, lam * nu)
             nu = jnp.where(accept, 2.0, nu * 2.0)
