@@ -107,7 +107,12 @@ class ORBExtractor:
             from plslam_tpu.ops.fast_pallas import fast_scores_pallas_stack
 
             s_hi, s_lo, blurred = fast_scores_pallas_stack(
-                stack, self.ini_th, self.min_th
+                stack, self.ini_th, self.min_th,
+                level_heights=[
+                    h for h, _ in pyramid.level_shapes(
+                        self.height, self.width, Lv, self.scale_factor
+                    )
+                ],
             )
         else:  # CPU/test path (also the oracle for the Pallas kernel)
             s_hi = jax.vmap(fast.fast_scores, (0, None))(stack, self.ini_th)

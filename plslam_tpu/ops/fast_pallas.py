@@ -123,65 +123,106 @@ def _gauss7():
     return (k / k.sum()).astype(np.float32)
 
 
+def _arc_any(masks):
+    """Any contiguous run of ARC=9 true values on the 16-ring, by run-length
+    doubling: a_k[i] = AND of k consecutive masks starting at i, built as
+    a2 -> a4 -> a8 -> a9 (64 ANDs + 15 ORs vs 128 + 15 for the naive
+    16-start x 8-AND sweep). Same boolean function, bit-identical."""
+    a2 = [masks[i] & masks[(i + 1) % 16] for i in range(16)]
+    a4 = [a2[i] & a2[(i + 2) % 16] for i in range(16)]
+    a8 = [a4[i] & a4[(i + 4) % 16] for i in range(16)]
+    a9 = [a8[i] & masks[(i + 8) % 16] for i in range(16)]
+    acc = a9[0]
+    for s in range(1, 16):
+        acc = acc | a9[s]
+    return acc
+
+
 def _band_kernel_stack(
-    img_hbm, hi_ref, lo_ref, blur_ref, band_vmem, dma_sem, *, ini_th, min_th, band_h
+    heights_ref, img_hbm, hi_ref, lo_ref, blur_ref, band_vmem, dma_sem,
+    *, ini_th, min_th, band_h,
 ):
     """One (level, row-band) cell of the stacked-pyramid grid: FAST ring
     scores at both thresholds AND the 7-tap Gaussian blur (the BRIEF sampling
-    image), all from one VMEM-resident band — one image read, three writes."""
+    image), all from one VMEM-resident band — one image read, three writes.
+
+    Levels shrink geometrically but share the [H, W] plane; row bands
+    entirely below a level's true height (heights_ref, scalar-prefetched)
+    are zero-filled without the DMA or the ring test — 40 of 64 bands do
+    real work at 8 levels x 480p (the padded-stack sweep wasted ~37% of the
+    kernel's VPU time, device trace). Downstream masking already treats
+    those regions as dead (fallback_nms_border_stack per-level borders)."""
     l = pl.program_id(0)
     i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        img_hbm.at[l, pl.ds(i * band_h, band_h + 2 * _HALO), :], band_vmem, dma_sem
-    )
-    copy.start()
-    copy.wait()
-    img = band_vmem[:]
+    needed = i * band_h < heights_ref[l]
 
-    # separable Gaussian 7x7 sigma=2 (cv::GaussianBlur before BRIEF). The
-    # circular wrap of roll only pollutes rows/cols inside the discarded
-    # halo / the 3px image border (keypoints live >= 19 px inside).
-    gk = _gauss7()
-    rowb = jnp.zeros_like(img)
-    for d in range(-3, 4):
-        rowb = rowb + gk[d + 3] * _roll2(img, d, 0)
-    blur = jnp.zeros_like(img)
-    for d in range(-3, 4):
-        blur = blur + gk[d + 3] * _roll2(rowb, 0, d)
-    blur_ref[0] = blur[_HALO : _HALO + band_h, :]
+    @pl.when(jnp.logical_not(needed))
+    def _zero():
+        hi_ref[0] = jnp.zeros_like(hi_ref[0])
+        lo_ref[0] = jnp.zeros_like(lo_ref[0])
+        blur_ref[0] = jnp.zeros_like(blur_ref[0])
 
-    nbs = [_roll2(img, dy, dx) for dy, dx in CIRCLE]
-    diffs = [nb - img for nb in nbs]
+    @pl.when(needed)
+    def _compute():
+        copy = pltpu.make_async_copy(
+            img_hbm.at[l, pl.ds(i * band_h, band_h + 2 * _HALO), :],
+            band_vmem, dma_sem,
+        )
+        copy.start()
+        copy.wait()
+        img = band_vmem[:]
 
-    def ring_scores(th):
-        masks_b = [d > th for d in diffs]
-        masks_d = [-d > th for d in diffs]
-        score_b = jnp.zeros_like(img)
-        score_d = jnp.zeros_like(img)
-        for d, b, k in zip(diffs, masks_b, masks_d):
-            score_b = score_b + jnp.where(b, d - th, 0.0)
-            score_d = score_d + jnp.where(k, -d - th, 0.0)
+        # separable Gaussian 7x7 sigma=2 (cv::GaussianBlur before BRIEF). The
+        # circular wrap of roll only pollutes rows/cols inside the discarded
+        # halo / the 3px image border (keypoints live >= 19 px inside).
+        gk = _gauss7()
+        rowb = jnp.zeros_like(img)
+        for d in range(-3, 4):
+            rowb = rowb + gk[d + 3] * _roll2(img, d, 0)
+        blur = jnp.zeros_like(img)
+        for d in range(-3, 4):
+            blur = blur + gk[d + 3] * _roll2(rowb, 0, d)
+        blur_ref[0] = blur[_HALO : _HALO + band_h, :]
 
-        def arc_any(masks):
-            acc = None
-            for s in range(16):
-                run = masks[s]
-                for k in range(1, ARC):
-                    run = run & masks[(s + k) % 16]
-                acc = run if acc is None else (acc | run)
-            return acc
+        nbs = [_roll2(img, dy, dx) for dy, dx in CIRCLE]
+        diffs = [nb - img for nb in nbs]
 
-        is_corner = arc_any(masks_b) | arc_any(masks_d)
-        return jnp.where(is_corner, jnp.maximum(score_b, score_d), 0.0)
+        def ring_scores(th):
+            # d - th is exact near the threshold (Sterbenz), so
+            # (d - th > 0) == (d > th) bitwise and relu(d - th) ==
+            # where(d > th, d - th, 0): one shared term per neighbour feeds
+            # mask, score, and SAD accumulation. The per-neighbour terms are
+            # STREAMED (computed and consumed inside the loop body) — a
+            # persistent 16-element f32 list per polarity is ~3.2 MB of live
+            # VMEM at band granularity and blows Mosaic's 16 MB scoped
+            # limit once fused into the full frame program.
+            score_b = jnp.zeros_like(img)
+            score_d = jnp.zeros_like(img)
+            masks_b, masks_d = [], []
+            for d in diffs:
+                x = d - th
+                y = (-th) - d  # == fl(-d - th): IEEE sub is correctly rounded
+                score_b = score_b + jnp.maximum(x, 0.0)
+                score_d = score_d + jnp.maximum(y, 0.0)
+                masks_b.append(x > 0)
+                masks_d.append(y > 0)
+            is_corner = _arc_any(masks_b) | _arc_any(masks_d)
+            return jnp.where(is_corner, jnp.maximum(score_b, score_d), 0.0)
 
-    hi_ref[0] = ring_scores(ini_th)[_HALO : _HALO + band_h, :]
-    lo_ref[0] = ring_scores(min_th)[_HALO : _HALO + band_h, :]
+        hi_ref[0] = ring_scores(ini_th)[_HALO : _HALO + band_h, :]
+        lo_ref[0] = ring_scores(min_th)[_HALO : _HALO + band_h, :]
 
 
-def fast_scores_pallas_stack(stack, ini_th: float, min_th: float, band_h: int = 64):
+def fast_scores_pallas_stack(
+    stack, ini_th: float, min_th: float, band_h: int = 64, level_heights=None
+):
     """[L, H, W] pyramid stack -> (s_hi, s_lo, blurred) [L, H, W], one
     pallas call with grid (L, bands) — the batched-stack twin of
-    fast_scores_pallas, with the pre-BRIEF Gaussian blur fused in."""
+    fast_scores_pallas, with the pre-BRIEF Gaussian blur fused in.
+    level_heights: true per-level image heights (static); bands fully below
+    a level's height are zero-filled, not computed."""
+    import numpy as np
+
     L, H, W = stack.shape
     Hp = -(-H // band_h) * band_h
     Wp = -(-W // 128) * 128
@@ -189,28 +230,35 @@ def fast_scores_pallas_stack(stack, ini_th: float, min_th: float, band_h: int = 
         stack, ((0, 0), (_HALO, Hp - H + _HALO), (0, Wp - W)), mode="edge"
     )
     n_bands = Hp // band_h
-    hi, lo, blur = pl.pallas_call(
-        functools.partial(
-            _band_kernel_stack,
-            ini_th=float(ini_th), min_th=float(min_th), band_h=band_h,
-        ),
+    if level_heights is None:
+        level_heights = [H] * L
+    heights = jnp.asarray(np.asarray(level_heights, np.int32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(L, n_bands),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, band_h, Wp), lambda l, i: (l, i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
-            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
-            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+            pl.BlockSpec((1, band_h, Wp), lambda l, i, hs: (l, i, 0)),
+            pl.BlockSpec((1, band_h, Wp), lambda l, i, hs: (l, i, 0)),
+            pl.BlockSpec((1, band_h, Wp), lambda l, i, hs: (l, i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((band_h + 2 * _HALO, Wp), stack.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(stackp)
+    )
+    hi, lo, blur = pl.pallas_call(
+        functools.partial(
+            _band_kernel_stack,
+            ini_th=float(ini_th), min_th=float(min_th), band_h=band_h,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+            jax.ShapeDtypeStruct((L, Hp, Wp), stack.dtype),
+        ),
+    )(heights, stackp)
     return hi[:, :H, :W], lo[:, :H, :W], blur[:, :H, :W]
 
 

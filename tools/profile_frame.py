@@ -8,6 +8,7 @@ Usage: python tools/profile_frame.py [--top 40] [--no-lines]
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import gzip
 import json
@@ -44,7 +45,9 @@ def main():
     tracker = Tracker(settings)
     zl = builder.empty_lines()
 
-    @jax.jit
+    # donate the state carry: the masked in-step KF/landmark scatters then
+    # update HBM in place instead of copying every touched map array
+    @functools.partial(jax.jit, donate_argnums=0)
     def one(state, gray, depth):
         frame = builder._build(gray, depth, *zl)
         state, out = tracker._step(state, frame)
@@ -107,6 +110,8 @@ def main():
             .compile()
             .as_text()
         )
+        with open("/tmp/plslam_hlo.txt", "w") as fh:
+            fh.write(txt)  # full text for manual attribution
         want = {re.split(r"\.", n)[0] + "." + n.split(".")[-1]: n
                 for n, _ in top if re.match(r"^[a-z_-]+\.\d+$", n)}
         print("\n--- HLO attribution ---")
