@@ -102,6 +102,14 @@ MAX_MAPLINES = 4096  # map-line capacity
 LOCAL_KFS = 16  # local-BA window keyframe capacity (reference: ALL covisible
 # KFs, unbounded; 16 covers the covisible set on every fixture we track)
 LOCAL_FIXED_KFS = 16  # local-BA fixed boundary keyframe capacity
+LOCAL_SET_CAP = 4096  # TrackLocalMap working-set capacity: landmark ids of
+# the reference KF + its top covisible KFs (Tracking::UpdateLocalPoints
+# ~850). Stage-2 matching/visibility in the step run over this gathered set,
+# not all MAX_PTS slots — the reference's local map as a fixed-capacity id
+# list refreshed at KF insertion (an 8x cut of the per-frame
+# [MAX_FEAT, MAX_PTS] distance work).
+LOCAL_COVIS_KFS = 16  # covisible KFs contributing to the working set
+# (Tracking::UpdateLocalKeyFrames caps the local-KF list; top-N by weight)
 
 # --- vocabulary (Thirdparty/DBoW2; Vocabulary/ORBvoc.txt: k=10, L=6) ---
 VOCAB_K = 10

@@ -138,12 +138,18 @@ def detect_lines_device(
     # 5. bidirectional endpoint walk on the support map of the anchor's bin
     b_of = bbest[yx[:, 0], yx[:, 1]]  # [K]
     d_of = dirs[b_of]  # [K, 2] (dx, dy)
-    # materialize the support map before the walk gathers: without the
-    # barrier, XLA fuses the whole [B, H, W] support/shift chain INTO the
-    # gather's kCustom fusion and re-executes it per gather (1.4 ms/frame,
-    # device trace); both walk directions share ONE gather for the same
-    # reason
-    sup_1d = jax.lax.optimization_barrier(sup.reshape(-1))
+    # The walk reads [K, 2*WALK] random samples. Gathering from the
+    # [B, H, W] f32 support stack (9.8 MB at 480p) is HBM-bound scattered
+    # reads (1.4 ms/frame, device trace); pack the B=8 per-pixel support
+    # bits into ONE [H, W] i32 bitmask plane (1.2 MB, VMEM-stageable) and
+    # test bit b_of after a single spatial gather. The barrier keeps XLA
+    # from fusing the packer INTO the gather's kCustom fusion (it would
+    # re-execute the whole support chain per gather).
+    sup_bits = (sup > 0).astype(jnp.int32)
+    packed = jnp.zeros((H, W), jnp.int32)
+    for b in range(N_DIRS):
+        packed = packed | (sup_bits[b] << b)
+    packed_1d = jax.lax.optimization_barrier(packed.reshape(-1))
     ts = jnp.arange(1, WALK + 1, dtype=jnp.float32)
     t_signed = jnp.concatenate([ts, -ts])  # [2*WALK]
 
@@ -152,7 +158,8 @@ def detect_lines_device(
     py = yx[:, 0, None].astype(jnp.float32) + t_signed[None] * d_of[:, 1, None]
     xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
-    good_all = sup_1d[(b_of[:, None] * H + yi) * W + xi] > 0  # [K, 2*WALK]
+    bits = packed_1d[yi * W + xi]  # [K, 2*WALK] one gather, all bins
+    good_all = ((bits >> b_of[:, None]) & 1) > 0
 
     def side_extent(good):
         # consecutive-empty run ending at step t, scan-free:

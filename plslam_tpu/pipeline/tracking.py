@@ -74,6 +74,9 @@ class TrackState(NamedTuple):
     frame_id: jnp.ndarray  # i32[]
     only_tracking: jnp.ndarray  # bool[] localization-only mode: no keyframe
     # insertion, no landmark counter mutation (Tracking.cc mbOnlyTracking ~250)
+    local_set: jnp.ndarray  # i32[WS] landmark ids of the local map
+    # (Tracking::UpdateLocalPoints ~850): ref KF + top covisible KFs'
+    # landmarks, refreshed at KF insertion / reloc; -1 = empty slot
     last: LastFrame
 
 
@@ -111,6 +114,7 @@ class Tracker:
         self.n_levels = settings.n_levels
         self.log_scale = float(np.log(settings.scale_factor))
         self.kf_max_frames = int(round(settings.fps))  # MaxFrames = fps
+        self.ws_cap = min(C.LOCAL_SET_CAP, max_pts)
         self.inv_sigma2 = jnp.asarray(inv_sigma2_table(settings.n_levels, settings.scale_factor))
 
     # ------------------------------------------------------------------ state
@@ -125,6 +129,7 @@ class Tracker:
             status=jnp.int32(ST_UNINIT),
             frame_id=jnp.int32(0),
             only_tracking=jnp.bool_(False),
+            local_set=jnp.full(self.ws_cap, -1, jnp.int32),
             last=LastFrame(
                 uvr=jnp.zeros((N, 3), jnp.float32),
                 octave=jnp.zeros(N, jnp.int32),
@@ -291,23 +296,70 @@ class Tracker:
         m = refresh_counts(m)
         return m, row_lm, k
 
+    # ------------------------------------------------------------- local set
+    def _compute_local_set(self, m: MapState, k):
+        """Working set of the local map around keyframe k
+        (Tracking::UpdateLocalKeyFrames + UpdateLocalPoints ~850): the
+        landmark ids observed by k and by its top-LOCAL_COVIS_KFS covisible
+        keyframes, deduplicated, compacted to i32[ws_cap] with -1 fill.
+
+        Runs only on keyframe frames (lax.cond) / after mapper-chain or
+        relocalization host calls — the per-frame stage-2 matching then
+        works over this gathered subset instead of all MAX_PTS slots.
+        Overflow beyond ws_cap truncates in slot order (documented capacity
+        deviation; the reference's local map is unbounded but empirically
+        ~1-3k points)."""
+        row = m.kf_lm_idx[k]
+        row_ok = m.kf_feat_valid[k] & (row >= 0)
+        member_k = jnp.zeros(self.max_pts, bool).at[
+            jnp.where(row_ok, row, self.max_pts)
+        ].set(True, mode="drop")
+        # covisibility weight of every KF against k (shared-landmark count)
+        ids = m.kf_lm_idx
+        ok = m.kf_feat_valid & (ids >= 0) & m.kf_valid[:, None]
+        w = jnp.sum(ok & member_k[jnp.clip(ids, 0)], axis=1).astype(jnp.int32)
+        w = w.at[k].set(0)  # k itself is always included via member_k
+        top = jnp.argsort(-w)[: C.LOCAL_COVIS_KFS]
+        rows = m.kf_lm_idx[top]
+        rows_ok = m.kf_feat_valid[top] & (rows >= 0) & (w[top] > 0)[:, None]
+        member = member_k.at[
+            jnp.where(rows_ok, rows, self.max_pts)
+        ].set(True, mode="drop")
+        member &= m.pt_valid
+        ws = jnp.nonzero(member, size=self.ws_cap, fill_value=-1)[0]
+        return ws.astype(jnp.int32)
+
+    @functools.cached_property
+    def refresh_local_set(self):
+        """Host-callable jitted refresh: recompute the working set around the
+        current reference KF. System calls this after the mapper chain /
+        loop closing / relocalization mutate the map outside the step."""
+
+        @jax.jit
+        def f(ts: TrackState) -> TrackState:
+            return ts._replace(
+                local_set=self._compute_local_set(ts.m, ts.ref_kf)
+            )
+
+        return f
+
     # ---------------------------------------------------------------- project
-    def _project_points(self, m: MapState, Tcw):
-        """Project all map points; frustum + scale-band + viewing-angle masks
-        (Frame::isInFrustum ~250). -> (uv [P,2], pred_oct [P], vis [P])."""
-        p_cam = se3.transform(Tcw, m.pt_pos)
+    def _project_points_subset(self, pos, normal, dist_band, valid, Tcw):
+        """Frustum + scale-band + viewing-angle gates over gathered landmark
+        arrays (Frame::isInFrustum ~250). -> (uv, pred_oct, vis)."""
+        p_cam = se3.transform(Tcw, pos)
         z = p_cam[:, 2]
         uv = camera.project(self.K, p_cam)
         in_img = camera.in_image(uv, self.width, self.height)
         Twc = se3.inverse(Tcw)
         cam_center = se3.translation(Twc)
-        dvec = m.pt_pos - cam_center
+        dvec = pos - cam_center
         dist = jnp.linalg.norm(dvec, axis=-1)
-        dmin, dmax = m.pt_dist[:, 0], m.pt_dist[:, 1]
+        dmin, dmax = dist_band[:, 0], dist_band[:, 1]
         in_band = (dist >= 0.8 * dmin) & (dist <= 1.2 * dmax)
-        view_cos = jnp.sum(dvec * m.pt_normal, -1) / jnp.clip(dist, 1e-6)
+        view_cos = jnp.sum(dvec * normal, -1) / jnp.clip(dist, 1e-6)
         angle_ok = view_cos > 0.5
-        vis = m.pt_valid & (z > 0.05) & in_img & in_band & angle_ok
+        vis = valid & (z > 0.05) & in_img & in_band & angle_ok
         # PredictScale (MapPoint::PredictScale ~410)
         ratio = jnp.clip(dmax / jnp.clip(dist, 1e-6), 1.0, None)
         pred_oct = jnp.clip(
@@ -316,6 +368,13 @@ class Tracker:
             self.n_levels - 1,
         )
         return uv, pred_oct, vis
+
+    def _project_points(self, m: MapState, Tcw):
+        """Project all map points (mapper/loop-closer callers; the tracking
+        step uses the local working set instead)."""
+        return self._project_points_subset(
+            m.pt_pos, m.pt_normal, m.pt_dist, m.pt_valid, Tcw
+        )
 
     def _project_lines(self, m: MapState, Tcw):
         """Project map-line endpoints -> (mid [Q,2], angle [Q], vis [Q]).
@@ -383,6 +442,7 @@ class Tracker:
                 ref_kf=k,
                 frames_since_kf=jnp.int32(0),
                 vel_ok=jnp.bool_(False),
+                local_set=self._compute_local_set(m, k),
                 last=LastFrame(
                     uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
                     desc=frame.desc, depth=frame.depth, valid=frame.valid,
@@ -511,28 +571,35 @@ class Tracker:
 
             Tcw1, lm_of_kp = jax.lax.cond(ok_mm, mm_result, ref_kf_fallback, None)
 
-            # ---- 2. track "local map": all map points, masked dense -------
-            uv_p, oct_p, vis = self._project_points(m, Tcw1)
+            # ---- 2. track local map: the covisibility working set ---------
+            # The reference gathers covisible KFs' landmarks per frame
+            # (UpdateLocalPoints); here that set is precomputed at KF
+            # insertion (ts.local_set) and stage 2 gathers + matches over
+            # ws_cap slots instead of all MAX_PTS — same dense masked-MXU
+            # form, 8x less distance work.
+            ws = ts.local_set
+            wsc = jnp.clip(ws, 0)
+            valid_ws = (ws >= 0) & m.pt_valid[wsc]
+            uv_p, oct_p, vis = self._project_points_subset(
+                m.pt_pos[wsc], m.pt_normal[wsc], m.pt_dist[wsc], valid_ws, Tcw1
+            )
             already = jnp.zeros(self.max_pts, bool).at[
                 jnp.where(lm_of_kp >= 0, lm_of_kp, self.max_pts)
             ].set(True, mode="drop")
-            vis &= ~already
+            vis &= ~already[wsc]
             kp_free = frame.valid & (lm_of_kp < 0)
-            all_pm1 = brief.unpack_bits_pm1(m.pt_desc)
+            ws_pm1 = brief.unpack_bits_pm1(m.pt_desc[wsc])
             # ORBmatcher::SearchByProjection(F, vpMapPoints, th) gates at
             # TH_HIGH with the 0.9 ratio test (not TH_LOW — that is the
             # frame-to-frame overload's accept threshold)
             match_kp2, _ = match_ops.search_by_projection(
                 frame.uvr[:, :2], frame.octave, frame.pm1, kp_free,
-                uv_p, oct_p, all_pm1, vis,
+                uv_p, oct_p, ws_pm1, vis,
                 radius=3.0, th_dist=C.TH_HIGH, nn_ratio=0.9,
             )
             src2 = jnp.where(match_kp2 >= 0, match_kp2, self.max_feat)
             lm_of_kp = lm_of_kp.at[src2].set(
-                jnp.where(
-                    match_kp2 >= 0, jnp.arange(self.max_pts, dtype=jnp.int32), -1
-                ),
-                mode="drop",
+                jnp.where(match_kp2 >= 0, ws, -1), mode="drop",
             )
             n2 = jnp.sum(lm_of_kp >= 0)
 
@@ -586,10 +653,14 @@ class Tracker:
             # the counter writes are masked out (mbOnlyTracking skips the
             # whole TrackLocalMap bookkeeping path)
             loc = ts.only_tracking
-            vis_all = vis | already
+            # union of stage-1 matches (`already`, dense) and working-set
+            # visibility (`vis`, scatter-added at ws — disjoint by
+            # construction: vis excludes already[wsc], ws ids are unique)
             m = m._replace(
-                pt_visible=jnp.where(
-                    loc, m.pt_visible, m.pt_visible + vis_all.astype(jnp.float32)
+                pt_visible=m.pt_visible.at[
+                    jnp.where(vis & ~loc, wsc, self.max_pts)
+                ].add(1.0, mode="drop") + jnp.where(
+                    loc, 0.0, already.astype(jnp.float32)
                 ),
                 pt_found=m.pt_found.at[
                     jnp.where((lm_of_kp >= 0) & ~loc, lm_of_kp, self.max_pts)
@@ -635,6 +706,14 @@ class Tracker:
             )
             lm_final = jnp.where(need_kf, row_lm, lm_of_kp)
             ref_kf = jnp.where(need_kf, k, ts.ref_kf)
+            # refresh the working set around the new keyframe (the cond
+            # skips the covisibility scan on the ~90% of frames with no KF)
+            local_set = jax.lax.cond(
+                need_kf,
+                lambda mm: self._compute_local_set(mm, k),
+                lambda mm: ts.local_set,
+                m,
+            )
 
             velocity = se3.compose(Tcw2, se3.inverse(ts.last.Tcw))
             rel_pose = se3.compose(Tcw2, se3.inverse(m.kf_pose[ref_kf]))
@@ -644,6 +723,7 @@ class Tracker:
                 velocity=velocity,
                 vel_ok=ok,
                 ref_kf=ref_kf,
+                local_set=local_set,
                 frames_since_kf=jnp.where(need_kf, 0, ts.frames_since_kf + 1),
                 status=jnp.where(ok, ST_OK, ST_LOST),
                 last=LastFrame(

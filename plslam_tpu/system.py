@@ -144,6 +144,13 @@ class System:
             self.state, closed = self._loop.process(self.state, int(out.kf_id))
             if closed:
                 self.n_loops_closed = self._loop.n_loops_closed
+        if new_kf and not self.localization_only and (
+            self._mapper is not None or self._loop is not None
+        ):
+            # mapper triangulation/fuse/culling and loop correction mutate
+            # landmarks outside the step: recompute the tracking working set
+            # (the in-step refresh at KF insertion predates those edits)
+            self.state = self.tracker.refresh_local_set(self.state)
         if prev_kf_valid is not None:
             self._pending_rebase = prev_kf_valid  # resolved next frame
         if new_kf and self._loop is None and not self.localization_only:
@@ -152,6 +159,10 @@ class System:
             self._reloc.observe_keyframe(self.state.m, int(out.kf_id))
         if int(self.state.status) == 2:  # LOST
             self.state, recovered = self._reloc.relocalize(self.state, frame)
+            if recovered:
+                # the working set is stale wherever we got lost; rebuild it
+                # around the keyframe relocalization snapped to
+                self.state = self.tracker.refresh_local_set(self.state)
 
         self._timestamps.append(float(timestamp))
         self._rel_poses.append(np.asarray(out.rel_pose, np.float64))
@@ -253,6 +264,9 @@ class System:
         # BoW rows are host state, not part of the snapshot: rebuild so
         # relocalization (and loop detection) work on the loaded map
         self._reloc.rebuild_database(self.state.m)
+        # older snapshots predate the local_set field (the loader keeps the
+        # template's empty set); always rebuild around the restored ref KF
+        self.state = self.tracker.refresh_local_set(self.state)
 
     def _rebase_culled_anchors(self, prev_kf_valid: np.ndarray):
         """Re-anchor replay poses of frames whose reference KF was just

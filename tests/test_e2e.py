@@ -184,3 +184,35 @@ class TestSnapshot:
             map_before._fields, jax.tree.leaves(map_before), jax.tree.leaves(map_after)
         ):
             np.testing.assert_array_equal(a, b, err_msg=f"map field {name} mutated")
+
+
+class TestLocalWorkingSet:
+    """The TrackLocalMap working set (Tracking::UpdateLocalKeyFrames +
+    UpdateLocalPoints ~850): stage-2 matching runs over the ref KF's
+    covisibility neighborhood, not all MAX_PTS slots."""
+
+    def test_local_set_contents(self, small_system_run):
+        slam, _ = small_system_run
+        ws = np.asarray(slam.state.local_set)
+        m = slam.state.m
+        valid_ids = ws[ws >= 0]
+        # unique, in-range, and pointing at live landmarks
+        assert len(valid_ids) > 0
+        assert len(np.unique(valid_ids)) == len(valid_ids)
+        pt_valid = np.asarray(m.pt_valid)
+        assert pt_valid[valid_ids].all()
+        # covers the reference KF's own landmarks (always in the local map)
+        ref = int(slam.state.ref_kf)
+        row = np.asarray(m.kf_lm_idx[ref])
+        row_ok = np.asarray(m.kf_feat_valid[ref]) & (row >= 0) & pt_valid[np.clip(row, 0, None)]
+        assert np.isin(row[row_ok], valid_ids).all()
+
+    def test_refresh_matches_step_refresh(self, small_system_run):
+        # the host-callable refresh and the in-step cond compute the same set
+        slam, _ = small_system_run
+        st = slam.tracker.refresh_local_set(slam.state)
+        a = np.asarray(st.local_set)
+        b = np.asarray(
+            slam.tracker._compute_local_set(slam.state.m, slam.state.ref_kf)
+        )
+        assert (a == b).all()
