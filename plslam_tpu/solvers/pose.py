@@ -156,7 +156,27 @@ def pose_optimization(
 ):
     """-> (Tcw f32[4,4], pt_inlier bool[N], line_inlier bool[L] | None).
 
-    Fully jit-compatible; `lines=None` traces a points-only solve."""
+    Fully jit-compatible; `lines=None` traces a points-only solve.
+
+    On the TPU backend the whole solve runs as ONE fused Pallas kernel
+    (solvers/pose_pallas.py) — the jnp path below traces into ~500 tiny XLA
+    kernels whose launch gaps dominate the tracking step (device trace).
+    This path remains the CPU/test oracle; the TPU runner asserts the two
+    agree (tests/test_pose.py)."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("PLSLAM_NO_PALLAS")
+        and pts.xw.shape[0] % 128 == 0
+        and (lines is None or lines.sw.shape[0] % 128 == 0)
+    ):
+        from plslam_tpu.solvers.pose_pallas import pose_optimization_pallas
+
+        return pose_optimization_pallas(
+            Tcw0, pts, K, bf, lines=lines, rounds=rounds,
+            iters_schedule=iters_schedule,
+        )
     has_lines = lines is not None
 
     def chi2_all(Tcw, active_pts, active_lines):

@@ -132,3 +132,64 @@ class TestPoseOptimization:
         e_pts = sum(pose_err(np.asarray(T_pts), T_gt))
         e_both = sum(pose_err(np.asarray(T_both), T_gt))
         assert e_both <= e_pts * 1.05
+
+
+def _tpu_available():
+    try:
+        return any(d.platform == "tpu" for d in jax.devices("tpu"))
+    except RuntimeError:
+        return False
+
+
+class TestPallasKernel:
+    """The fused Pallas solve (solvers/pose_pallas.py) against this module's
+    jnp path — same scene, full frame capacities (N=1024 points, L=128
+    lines). Interpret mode runs everywhere; the real Mosaic kernel is
+    asserted on the TPU runner."""
+
+    def _padded_scene(self, rng):
+        pts, T_gt, _ = make_scene(rng, n=1024, noise_px=0.5, outlier_frac=0.1)
+        L = 128
+        sw = np.stack(
+            [rng.uniform(-2, 2, L), rng.uniform(-1.5, 1.5, L), rng.uniform(2, 5, L)], -1
+        ).astype(np.float32)
+        ew = sw + rng.uniform(-0.8, 0.8, (L, 3)).astype(np.float32)
+        ew[:, 2] = np.clip(ew[:, 2], 1.5, None)
+        sp = np.asarray(camera.project(jnp.asarray(K), se3.transform(jnp.asarray(T_gt), jnp.asarray(sw))))
+        ep = np.asarray(camera.project(jnp.asarray(K), se3.transform(jnp.asarray(T_gt), jnp.asarray(ew))))
+        l = np.cross(np.c_[sp, np.ones(L)], np.c_[ep, np.ones(L)])
+        l /= np.linalg.norm(l[:, :2], axis=1, keepdims=True) + 1e-9
+        lines = P.LineObs(
+            sw=jnp.asarray(sw), ew=jnp.asarray(ew),
+            line2d=jnp.asarray(l.astype(np.float32)),
+            inv_sigma2=jnp.ones(L), valid=jnp.asarray(rng.uniform(size=L) < 0.6),
+        )
+        return pts, lines, T_gt
+
+    @pytest.mark.parametrize("with_lines", [False, True])
+    def test_interpret_matches_jnp(self, rng, with_lines):
+        from plslam_tpu.solvers.pose_pallas import pose_optimization_pallas
+
+        pts, lines, T_gt = self._padded_scene(rng)
+        ln = lines if with_lines else None
+        Tj, pj, lj = P.pose_optimization(se3.identity(), pts, jnp.asarray(K), BF, lines=ln)
+        Tp, pp, lp = pose_optimization_pallas(
+            se3.identity(), pts, jnp.asarray(K), BF, lines=ln, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(Tj), np.asarray(Tp), atol=1e-4)
+        assert (np.asarray(pj) == np.asarray(pp)).mean() > 0.995
+        if with_lines:
+            assert (np.asarray(lj) == np.asarray(lp)).mean() > 0.99
+
+    @pytest.mark.skipif(not _tpu_available(), reason="needs a TPU device")
+    def test_mosaic_matches_jnp_on_tpu(self, rng):
+        from plslam_tpu.solvers.pose_pallas import pose_optimization_pallas
+
+        pts, lines, T_gt = self._padded_scene(rng)
+        Tj, pj, lj = P.pose_optimization(se3.identity(), pts, jnp.asarray(K), BF, lines=lines)
+        Tp, pp, lp = pose_optimization_pallas(
+            se3.identity(), pts, jnp.asarray(K), BF, lines=lines
+        )
+        np.testing.assert_allclose(np.asarray(Tj), np.asarray(Tp), atol=1e-4)
+        assert (np.asarray(pj) == np.asarray(pp)).mean() > 0.995
+        assert (np.asarray(lj) == np.asarray(lp)).mean() > 0.99
