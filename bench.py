@@ -15,6 +15,7 @@ north-star target is >=10x (>=300 fps effective).
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -64,7 +65,10 @@ def main():
     # over a flaky transport). Compile TWO independent variants (a baked-in
     # constant makes the HLO hashes differ) and keep the faster one.
     def make_one(eps):
-        @jax.jit
+        # donate the state carry: the masked KF/landmark scatters then
+        # update HBM in place (kf_desc alone is 8 MB; without donation every
+        # touched map array is copied each frame)
+        @functools.partial(jax.jit, donate_argnums=0)
         def one(state, gray, depth):
             frame = builder._build(gray + eps, depth, *zl)
             state, out = tracker._step(state, frame)

@@ -29,7 +29,12 @@ import numpy as np
 
 from plslam_tpu import constants as C
 
-N_SAMPLES = 24  # longitudinal samples along the segment
+N_SAMPLES = 16  # longitudinal samples along the segment. 24 -> 16 measured:
+# the [L*S*63] nearest-neighbor gather is the single biggest op in the frame
+# program (1.38 ms at S=24, ~7 ns per gathered element, device trace) and
+# scales linearly with S; band statistics over 16x7 samples keep the
+# fast-vs-exact Hamming gap and the cross-frame stability margins
+# (tests/test_lines.py) with ~0.45 ms/frame saved.
 BANDS = C.LBD_BANDS  # 9
 BAND_W = C.LBD_BAND_WIDTH  # 7
 N_BITS = 256

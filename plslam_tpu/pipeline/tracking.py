@@ -91,6 +91,33 @@ class StepOut(NamedTuple):
     n_matches: jnp.ndarray  # i32[]
 
 
+class _BranchOut(NamedTuple):
+    """Per-branch result of the status switch — deliberately carries NO
+    MapState arrays. Any map array returned from a lax.switch branch is
+    materialized with a full-buffer copy for the pass-through branches
+    (kf_desc alone is 8 MB -> 2 x 80 us/frame of pure copy, device trace);
+    instead the branches emit scatter REQUESTS and all map mutation happens
+    after the switch, where donated buffers update in place."""
+
+    do_insert: jnp.ndarray  # bool[] create keyframe + landmarks
+    lm_of_kp: jnp.ndarray  # i32[N] landmark binding per feature (-1 none)
+    ml_of_ln: jnp.ndarray  # i32[L] map-line binding per keyline
+    Tcw: jnp.ndarray  # f32[4, 4] frame pose
+    last_Tcw: jnp.ndarray  # f32[4, 4] pose stored into LastFrame
+    update_last: jnp.ndarray  # bool[] replace ts.last with this frame
+    status: jnp.ndarray  # i32[]
+    tracked: jnp.ndarray  # bool[]
+    velocity: jnp.ndarray  # f32[4, 4]
+    vel_ok: jnp.ndarray  # bool[]
+    fsk_no_insert: jnp.ndarray  # i32[] frames_since_kf when no KF is created
+    n_inliers: jnp.ndarray  # i32[]
+    n_matches: jnp.ndarray  # i32[]
+    count_counters: jnp.ndarray  # bool[] apply visibility/found counters
+    vis_ws: jnp.ndarray  # bool[WS] stage-2 visibility over the working set
+    already: jnp.ndarray  # bool[P] stage-1 landmark visibility
+    ml_vis: jnp.ndarray  # bool[Q] projected map-line visibility
+
+
 class Tracker:
     """Static-config tracking pipeline. Use .init_state() and .step()."""
 
@@ -314,7 +341,12 @@ class Tracker:
         member_k = jnp.zeros(self.max_pts, bool).at[
             jnp.where(row_ok, row, self.max_pts)
         ].set(True, mode="drop")
-        # covisibility weight of every KF against k (shared-landmark count)
+        # covisibility weight of every KF against k (shared-landmark count).
+        # The barrier keeps the membership scatter from fusing INTO the
+        # [MAX_KF, MAX_FEAT] gather's kCustom fusion, which re-executes the
+        # producer per gathered element (measured 2.1 ms vs ~0.6 ms for the
+        # bare gather on KF frames, device trace).
+        member_k = jax.lax.optimization_barrier(member_k)
         ids = m.kf_lm_idx
         ok = m.kf_feat_valid & (ids >= 0) & m.kf_valid[:, None]
         w = jnp.sum(ok & member_k[jnp.clip(ids, 0)], axis=1).astype(jnp.int32)
@@ -422,6 +454,12 @@ class Tracker:
 
     # ------------------------------------------------------------------- step
     def _step(self, ts: TrackState, frame: FrameData):
+        no_lm = jnp.full(self.max_feat, -1, jnp.int32)
+        no_ml = jnp.full(self.max_lines, -1, jnp.int32)
+        no_ws = jnp.zeros(self.ws_cap, bool)
+        no_pt = jnp.zeros(self.max_pts, bool)
+        no_ln = jnp.zeros(self.max_maplines, bool)
+
         def do_init(ts):
             # reference requires N>500 features for stereo init; scaled to
             # capacity so tiny test configs can initialize
@@ -432,29 +470,16 @@ class Tracker:
                 jnp.sum(frame.valid & (frame.depth > 0)) > min_init
             ) & ~ts.only_tracking
             Tcw = se3.identity()
-            m, row_lm, k = self._insert_keyframe(
-                ts.m, frame, Tcw, jnp.full(self.max_feat, -1, jnp.int32),
-                jnp.full(self.max_lines, -1, jnp.int32), enough, ts.frame_id,
-            )
-            new_ts = ts._replace(
-                m=m,
+            return _BranchOut(
+                do_insert=enough, lm_of_kp=no_lm, ml_of_ln=no_ml,
+                Tcw=Tcw, last_Tcw=Tcw, update_last=jnp.bool_(True),
                 status=jnp.where(enough, ST_OK, ST_UNINIT),
-                ref_kf=k,
-                frames_since_kf=jnp.int32(0),
-                vel_ok=jnp.bool_(False),
-                local_set=self._compute_local_set(m, k),
-                last=LastFrame(
-                    uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
-                    desc=frame.desc, depth=frame.depth, valid=frame.valid,
-                    lm_idx=row_lm, Tcw=Tcw,
-                ),
+                tracked=enough, velocity=ts.velocity, vel_ok=jnp.bool_(False),
+                fsk_no_insert=jnp.int32(0),
+                n_inliers=jnp.int32(0), n_matches=jnp.int32(0),
+                count_counters=jnp.bool_(False),
+                vis_ws=no_ws, already=no_pt, ml_vis=no_ln,
             )
-            out = StepOut(
-                Tcw=Tcw, tracked=enough, new_kf=enough, kf_id=k, ref_kf=k,
-                rel_pose=se3.identity(),
-                n_inliers=jnp.sum(row_lm >= 0), n_matches=jnp.sum(row_lm >= 0),
-            )
-            return new_ts, out
 
         def do_track(ts):
             m = ts.m
@@ -648,31 +673,6 @@ class Tracker:
 
             ok = n_inliers >= C.MIN_INLIERS_TRACK_LOCAL_MAP
 
-            # visibility counters (MapPoint::IncreaseVisible / IncreaseFound);
-            # in localization-only mode the map must stay bit-identical, so
-            # the counter writes are masked out (mbOnlyTracking skips the
-            # whole TrackLocalMap bookkeeping path)
-            loc = ts.only_tracking
-            # union of stage-1 matches (`already`, dense) and working-set
-            # visibility (`vis`, scatter-added at ws — disjoint by
-            # construction: vis excludes already[wsc], ws ids are unique)
-            m = m._replace(
-                pt_visible=m.pt_visible.at[
-                    jnp.where(vis & ~loc, wsc, self.max_pts)
-                ].add(1.0, mode="drop") + jnp.where(
-                    loc, 0.0, already.astype(jnp.float32)
-                ),
-                pt_found=m.pt_found.at[
-                    jnp.where((lm_of_kp >= 0) & ~loc, lm_of_kp, self.max_pts)
-                ].add(1.0, mode="drop"),
-                ln_visible=jnp.where(
-                    loc, m.ln_visible, m.ln_visible + ml_vis.astype(jnp.float32)
-                ),
-                ln_found=m.ln_found.at[
-                    jnp.where((ml_of_ln >= 0) & ~loc, ml_of_ln, self.max_maplines)
-                ].add(1.0, mode="drop"),
-            )
-
             # ---- 3. keyframe policy (NeedNewKeyFrame ~1000) ---------------
             close = (frame.depth > 0) & (frame.depth < self.depth_th) & frame.valid
             tracked_close = jnp.sum(close & (lm_of_kp >= 0))
@@ -701,53 +701,106 @@ class Tracker:
             # are all dropped and the map pytree passes through bit-identical.
             need_kf = ok & (c1 | c2) & c1b & (n_inliers > 15) & ~ts.only_tracking
 
-            m, row_lm, k = self._insert_keyframe(
-                m, frame, Tcw2, lm_of_kp, ml_of_ln, need_kf, ts.frame_id
-            )
-            lm_final = jnp.where(need_kf, row_lm, lm_of_kp)
-            ref_kf = jnp.where(need_kf, k, ts.ref_kf)
-            # refresh the working set around the new keyframe (the cond
-            # skips the covisibility scan on the ~90% of frames with no KF)
-            local_set = jax.lax.cond(
-                need_kf,
-                lambda mm: self._compute_local_set(mm, k),
-                lambda mm: ts.local_set,
-                m,
-            )
-
             velocity = se3.compose(Tcw2, se3.inverse(ts.last.Tcw))
-            rel_pose = se3.compose(Tcw2, se3.inverse(m.kf_pose[ref_kf]))
-
-            new_ts = ts._replace(
-                m=m,
-                velocity=velocity,
-                vel_ok=ok,
-                ref_kf=ref_kf,
-                local_set=local_set,
-                frames_since_kf=jnp.where(need_kf, 0, ts.frames_since_kf + 1),
+            return _BranchOut(
+                do_insert=need_kf, lm_of_kp=lm_of_kp, ml_of_ln=ml_of_ln,
+                Tcw=Tcw2, last_Tcw=jnp.where(ok, Tcw2, ts.last.Tcw),
+                update_last=jnp.bool_(True),
                 status=jnp.where(ok, ST_OK, ST_LOST),
-                last=LastFrame(
-                    uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
-                    desc=frame.desc, depth=frame.depth, valid=frame.valid,
-                    lm_idx=lm_final, Tcw=jnp.where(ok, Tcw2, ts.last.Tcw),
-                ),
+                tracked=ok, velocity=velocity, vel_ok=ok,
+                fsk_no_insert=ts.frames_since_kf + 1,
+                n_inliers=n_inliers, n_matches=n2,
+                count_counters=jnp.bool_(True),
+                vis_ws=vis, already=already, ml_vis=ml_vis,
             )
-            out = StepOut(
-                Tcw=Tcw2, tracked=ok, new_kf=need_kf, kf_id=k, ref_kf=ref_kf,
-                rel_pose=rel_pose, n_inliers=n_inliers, n_matches=n2,
-            )
-            return new_ts, out
 
         def do_lost(ts):
-            out = StepOut(
-                Tcw=ts.last.Tcw, tracked=jnp.bool_(False), new_kf=jnp.bool_(False),
-                kf_id=jnp.int32(0), ref_kf=ts.ref_kf,
-                rel_pose=se3.compose(ts.last.Tcw, se3.inverse(ts.m.kf_pose[ts.ref_kf])),
+            return _BranchOut(
+                do_insert=jnp.bool_(False), lm_of_kp=no_lm, ml_of_ln=no_ml,
+                Tcw=ts.last.Tcw, last_Tcw=ts.last.Tcw,
+                update_last=jnp.bool_(False),
+                status=ts.status, tracked=jnp.bool_(False),
+                velocity=ts.velocity, vel_ok=ts.vel_ok,
+                fsk_no_insert=ts.frames_since_kf,
                 n_inliers=jnp.int32(0), n_matches=jnp.int32(0),
+                count_counters=jnp.bool_(False),
+                vis_ws=no_ws, already=no_pt, ml_vis=no_ln,
             )
-            return ts, out
 
-        new_ts, out = jax.lax.switch(
+        is_init = jnp.clip(ts.status, 0, 2) == ST_UNINIT
+        req = jax.lax.switch(
             jnp.clip(ts.status, 0, 2), [do_init, do_track, do_lost], ts
         )
-        return new_ts._replace(frame_id=ts.frame_id + 1), out
+
+        # ---- epilogue: ALL map mutation happens here, outside the switch --
+        m = ts.m
+        # visibility counters (MapPoint::IncreaseVisible / IncreaseFound);
+        # localization-only mode keeps the map bit-identical (mbOnlyTracking
+        # skips the TrackLocalMap bookkeeping path)
+        cc = req.count_counters & ~ts.only_tracking
+        wsc = jnp.clip(ts.local_set, 0)
+        # union of stage-1 matches (`already`, dense) and working-set
+        # visibility (scatter-added at ws — disjoint by construction)
+        m = m._replace(
+            pt_visible=m.pt_visible.at[
+                jnp.where(req.vis_ws & cc, wsc, self.max_pts)
+            ].add(1.0, mode="drop") + jnp.where(
+                cc, req.already.astype(jnp.float32), 0.0
+            ),
+            pt_found=m.pt_found.at[
+                jnp.where((req.lm_of_kp >= 0) & cc, req.lm_of_kp, self.max_pts)
+            ].add(1.0, mode="drop"),
+            ln_visible=m.ln_visible + jnp.where(
+                cc, req.ml_vis.astype(jnp.float32), 0.0
+            ),
+            ln_found=m.ln_found.at[
+                jnp.where((req.ml_of_ln >= 0) & cc, req.ml_of_ln, self.max_maplines)
+            ].add(1.0, mode="drop"),
+        )
+
+        m, row_lm, k = self._insert_keyframe(
+            m, frame, req.Tcw, req.lm_of_kp, req.ml_of_ln, req.do_insert,
+            ts.frame_id,
+        )
+        lm_final = jnp.where(req.do_insert, row_lm, req.lm_of_kp)
+        ref_kf = jnp.where(req.do_insert, k, ts.ref_kf)
+        # refresh the working set around the new keyframe (the cond skips
+        # the covisibility scan on the ~90% of frames with no KF)
+        local_set = jax.lax.cond(
+            req.do_insert,
+            lambda mm: self._compute_local_set(mm, k),
+            lambda mm: ts.local_set,
+            m,
+        )
+        last_new = LastFrame(
+            uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
+            desc=frame.desc, depth=frame.depth, valid=frame.valid,
+            lm_idx=lm_final, Tcw=req.last_Tcw,
+        )
+        last = jax.tree.map(
+            lambda a, b: jnp.where(req.update_last, a, b), last_new, ts.last
+        )
+        n_init = jnp.sum(row_lm >= 0)
+        rel_pose = jnp.where(
+            is_init,
+            se3.identity(),
+            se3.compose(req.Tcw, se3.inverse(m.kf_pose[ref_kf])),
+        )
+        new_ts = ts._replace(
+            m=m,
+            velocity=req.velocity,
+            vel_ok=req.vel_ok,
+            ref_kf=ref_kf,
+            local_set=local_set,
+            frames_since_kf=jnp.where(req.do_insert, 0, req.fsk_no_insert),
+            status=req.status,
+            frame_id=ts.frame_id + 1,
+            last=last,
+        )
+        out = StepOut(
+            Tcw=req.Tcw, tracked=req.tracked, new_kf=req.do_insert,
+            kf_id=k, ref_kf=ref_kf, rel_pose=rel_pose,
+            n_inliers=jnp.where(is_init, n_init, req.n_inliers),
+            n_matches=jnp.where(is_init, n_init, req.n_matches),
+        )
+        return new_ts, out
