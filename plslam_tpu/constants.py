@@ -87,6 +87,11 @@ POSE_OPT_SCHEDULE = (4, 2, 2, 2)  # our compressed per-round LM iteration
 LOCAL_BA_ITERS_1 = 5  # LocalBundleAdjustment: 5 then 10 (~450)
 LOCAL_BA_ITERS_2 = 10
 GLOBAL_BA_ITERS = 10  # RunGlobalBundleAdjustment (~600)
+GBA_SLICE_ITERS = 5  # LM iterations per time-sliced GBA dispatch: the
+# transient-GBA-thread analogue (LoopClosing::RunGlobalBundleAdjustment runs
+# while tracking continues) — System pumps one slice between frames, so a
+# closure's GBA cost spreads over ceil(10/5)*2 = 4 frames instead of one
+# frame-time spike
 ESSENTIAL_GRAPH_ITERS = 20  # OptimizeEssentialGraph (~900)
 SIM3_OPT_ITERS = 10  # OptimizeSim3 (~1100)
 

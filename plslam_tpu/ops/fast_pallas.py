@@ -124,18 +124,22 @@ def _gauss7():
 
 
 def _arc_any(masks):
-    """Any contiguous run of ARC=9 true values on the 16-ring, by run-length
-    doubling: a_k[i] = AND of k consecutive masks starting at i, built as
-    a2 -> a4 -> a8 -> a9 (64 ANDs + 15 ORs vs 128 + 15 for the naive
-    16-start x 8-AND sweep). Same boolean function, bit-identical."""
-    a2 = [masks[i] & masks[(i + 1) % 16] for i in range(16)]
-    a4 = [a2[i] & a2[(i + 2) % 16] for i in range(16)]
-    a8 = [a4[i] & a4[(i + 4) % 16] for i in range(16)]
-    a9 = [a8[i] & masks[(i + 8) % 16] for i in range(16)]
-    acc = a9[0]
-    for s in range(1, 16):
-        acc = acc | a9[s]
-    return acc
+    """Any contiguous run of ARC=9 true values on the 16-ring.
+
+    The 16 per-pixel masks are packed into ONE i32 lane word (bit i =
+    masks[i]), the ring unrolled by doubling the low 16 bits, and the
+    9-long-run test becomes 8 shift-ANDs: bit i of the result word is set
+    iff bits i..i+8 are all set. ~50 integer ops vs ~80 boolean ops for the
+    run-length-doubling AND tree — and i32 words pipeline better than pred
+    vregs on the VPU. Same boolean function, bit-identical."""
+    w = masks[0].astype(jnp.int32)
+    for i in range(1, 16):
+        w = w | (masks[i].astype(jnp.int32) << i)
+    ww = w | (w << 16)
+    r = ww
+    for k in range(1, ARC):
+        r = r & (ww >> k)
+    return (r & 0xFFFF) != 0
 
 
 def _band_kernel_stack(

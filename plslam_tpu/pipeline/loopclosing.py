@@ -56,6 +56,13 @@ class LoopCloser(Relocalizer):
         self._kf_counter = 0
         self.last_loop_kfn = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
+        # time-sliced global BA (the transient-GBA-thread analogue): pending
+        # (iters1, iters2, erase) slices, pumped one per frame by
+        # System.track_rgbd; see LocalBA.slice_runner
+        self.gba_queue: list[tuple[int, int, bool]] = []
+        self._gba_k = 0
+        self._gba = None  # lazily-built global-mode LocalBA (one instance
+        # so slice jits are compiled once, not per closure)
 
     def reset(self):
         super().reset()
@@ -64,6 +71,7 @@ class LoopCloser(Relocalizer):
         self._kf_counter = 0
         self.last_loop_kfn = -C.LOOP_MIN_KFS_SINCE_LAST
         self.n_loops_closed = 0
+        self.gba_queue = []
 
     # ------------------------------------------------------------ jit pieces
     @functools.cached_property
@@ -390,18 +398,45 @@ class LoopCloser(Relocalizer):
         self._loop_edges.append((int(k), int(cand)))
 
         if self.enable_gba:
+            # true GlobalBundleAdjustment (src/Optimizer.cc ~60 via
+            # RunGlobalBundleAdjustment ~600): every valid KF + landmark —
+            # but TIME-SLICED instead of synchronous. The reference runs GBA
+            # in a transient thread while tracking continues on the stale
+            # map and aborts it (mbStopGBA) if another loop closes first;
+            # here the 10+10 LM schedule becomes a slice queue that
+            # System.track_rgbd pumps one slice per frame, and a newer
+            # closure simply replaces the pending queue.
+            n1, n2 = C.GLOBAL_BA_ITERS, C.GLOBAL_BA_ITERS
+            q: list[tuple[int, int, bool]] = []
+            step = max(1, C.GBA_SLICE_ITERS)
+            for s in range(0, n1, step):
+                q.append((min(step, n1 - s), 0, False))
+            for s in range(0, n2, step):
+                q.append((0, min(step, n2 - s), False))
+            if q:
+                i1, i2, _ = q[-1]
+                q[-1] = (i1, i2, True)  # outlier erase only on the last slice
+            self.gba_queue = q
+            self._gba_k = int(k)
+        return state, True
+
+    def pump_gba(self, state):
+        """Run ONE pending global-BA slice (called between frames)."""
+        if not self.gba_queue:
+            return state
+        if self._gba is None:
             from plslam_tpu.solvers.local_ba import LocalBA
 
-            # true GlobalBundleAdjustment (src/Optimizer.cc ~60 via
-            # RunGlobalBundleAdjustment ~600): every valid KF + landmark
-            gba = LocalBA(
-                self.tracker,
-                global_mode=True,
-                iters1=C.GLOBAL_BA_ITERS,
-                iters2=C.GLOBAL_BA_ITERS,
-            )
-            state = state._replace(m=gba.run(state.m, jnp.int32(k)))
-        return state, True
+            self._gba = LocalBA(self.tracker, global_mode=True)
+        i1, i2, erase = self.gba_queue.pop(0)
+        fn = self._gba.slice_runner(i1, i2, erase)
+        return state._replace(m=fn(state.m, jnp.int32(self._gba_k)))
+
+    def flush_gba(self, state):
+        """Drain all pending slices (save/snapshot/mode-switch paths)."""
+        while self.gba_queue:
+            state = self.pump_gba(state)
+        return state
 
     @staticmethod
     def _edge_measurements(poses, edge):

@@ -346,10 +346,14 @@ class Tracker:
         # [MAX_KF, MAX_FEAT] gather's kCustom fusion, which re-executes the
         # producer per gathered element (measured 2.1 ms vs ~0.6 ms for the
         # bare gather on KF frames, device trace).
-        member_k = jax.lax.optimization_barrier(member_k)
+        # gather an i32 plane, not bool: pred-typed kCustom gathers lower to
+        # a slower byte path on this TPU (device trace)
+        member_i = jax.lax.optimization_barrier(member_k.astype(jnp.int32))
         ids = m.kf_lm_idx
         ok = m.kf_feat_valid & (ids >= 0) & m.kf_valid[:, None]
-        w = jnp.sum(ok & member_k[jnp.clip(ids, 0)], axis=1).astype(jnp.int32)
+        w = jnp.sum(
+            jnp.where(ok, member_i[jnp.clip(ids, 0)], 0), axis=1
+        ).astype(jnp.int32)
         w = w.at[k].set(0)  # k itself is always included via member_k
         top = jnp.argsort(-w)[: C.LOCAL_COVIS_KFS]
         rows = m.kf_lm_idx[top]

@@ -103,7 +103,33 @@ class LocalBA:
 
     @functools.cached_property
     def run(self):
-        return jax.jit(self._run)
+        return jax.jit(
+            lambda m, k: self._run(m, k, self.iters1, self.iters2, True)
+        )
+
+    def slice_runner(self, iters1: int, iters2: int, erase: bool):
+        """Jitted partial solve — the unit of TIME-SLICED global BA.
+
+        The reference runs GlobalBundleAdjustment in a transient thread
+        while tracking continues on the stale map
+        (LoopClosing::RunGlobalBundleAdjustment ~600). The TPU analogue:
+        the 10+10 LM schedule is split into slices, one dispatched between
+        frames (System.track_rgbd pumps LoopCloser.gba_queue) — tracking
+        proceeds on the partially-optimized map and the closure's frame-time
+        spike spreads over the slice count. Each slice re-selects/rebuilds
+        on the CURRENT map, so keyframes created mid-GBA simply join later
+        slices (strictly cleaner than the reference's post-hoc correction
+        propagation). iters1 robust LM iterations, then a chi2 gate +
+        iters2 non-robust iterations (either phase statically skipped at 0);
+        erase=True runs the final outlier sweep that drops bad observations
+        from kf_lm_idx/kf_ln_idx — only the LAST slice should erase."""
+        fns = self.__dict__.setdefault("_slice_fns", {})
+        key = (iters1, iters2, erase)
+        if key not in fns:
+            fns[key] = jax.jit(
+                lambda m, k: self._run(m, k, iters1, iters2, erase)
+            )
+        return fns[key]
 
     # ------------------------------------------------------------------ build
     def _select(self, m: MapState, k):
@@ -337,7 +363,7 @@ class LocalBA:
         )
         return (r1, Jc1, Jp1), (r2, Jc2, Jp2), w, chi2, ok, cost
 
-    def _run(self, m: MapState, k):
+    def _run(self, m: MapState, k, iters1: int, iters2: int, erase: bool):
         tr = self.tracker
         (win_ids, win_mask, fix_ids, fix_valid, local_ids, local_valid,
          lm_slot, ln_ids, ln_sel_valid, ln_slot) = self._select(m, k)
@@ -576,20 +602,40 @@ class LocalBA:
 
         edge_active = jnp.ones_like(feat_ok)
         ln_edge_active = jnp.ones_like(ln_feat_ok)
-        poses, pos = lm_phase(
-            poses0, pos_all0, edge_active, ln_edge_active, jnp.bool_(True), self.iters1
-        )
-        # outlier pass (chi2 gate), then second phase without robust kernel
-        *_, chi2, ok, chi2_ln, ok_ln = build(
-            poses, pos, edge_active, ln_edge_active, jnp.bool_(True)
-        )
+        poses, pos = poses0, pos_all0
         delta2 = jnp.where(is_stereo, C.CHI2_STEREO, C.CHI2_MONO)
         delta2_ln = jnp.float32(C.CHI2_MONO)
-        edge_active = ok & (chi2 <= delta2)
-        ln_edge_active = ok_ln & (chi2_ln <= delta2_ln)
-        poses, pos = lm_phase(
-            poses, pos, edge_active, ln_edge_active, jnp.bool_(False), self.iters2
+        if iters1 > 0:
+            poses, pos = lm_phase(
+                poses, pos, edge_active, ln_edge_active, jnp.bool_(True), iters1
+            )
+        if iters2 > 0:
+            # outlier pass (chi2 gate), then second phase w/o robust kernel
+            *_, chi2, ok, chi2_ln, ok_ln = build(
+                poses, pos, edge_active, ln_edge_active, jnp.bool_(True)
+            )
+            edge_active = ok & (chi2 <= delta2)
+            ln_edge_active = ok_ln & (chi2_ln <= delta2_ln)
+            poses, pos = lm_phase(
+                poses, pos, edge_active, ln_edge_active, jnp.bool_(False), iters2
+            )
+
+        # ---- write back ----
+        new_kf_pose = m.kf_pose.at[jnp.where(win_mask, win_ids, tr.max_kf)].set(
+            poses[:W], mode="drop"
         )
+        new_pt_pos = m.pt_pos.at[jnp.where(local_valid, local_ids, tr.max_pts)].set(
+            pos[:Pl], mode="drop"
+        )
+        ln_sid = jnp.where(ln_sel_valid, ln_ids, tr.max_maplines)
+        new_ln_sw = m.ln_sw.at[ln_sid].set(pos[Pl:Pl + Ql], mode="drop")
+        new_ln_ew = m.ln_ew.at[ln_sid].set(pos[Pl + Ql:], mode="drop")
+        m = m._replace(
+            kf_pose=new_kf_pose, pt_pos=new_pt_pos,
+            ln_sw=new_ln_sw, ln_ew=new_ln_ew,
+        )
+        if not erase:
+            return m
 
         # final outliers -> erase observations from the map (kf_lm_idx = -1).
         # Evaluate over ALL real optimization edges (including ones excluded in
@@ -606,17 +652,6 @@ class LocalBA:
         bad_ln_edge = ln_feat_ok & (ln_slot_row >= 0) & (
             (chi2_ln > delta2_ln) | ~ok_ln_all
         )
-
-        # ---- write back ----
-        new_kf_pose = m.kf_pose.at[jnp.where(win_mask, win_ids, tr.max_kf)].set(
-            poses[:W], mode="drop"
-        )
-        new_pt_pos = m.pt_pos.at[jnp.where(local_valid, local_ids, tr.max_pts)].set(
-            pos[:Pl], mode="drop"
-        )
-        ln_sid = jnp.where(ln_sel_valid, ln_ids, tr.max_maplines)
-        new_ln_sw = m.ln_sw.at[ln_sid].set(pos[Pl:Pl + Ql], mode="drop")
-        new_ln_ew = m.ln_ew.at[ln_sid].set(pos[Pl + Ql:], mode="drop")
         # erase outlier observations row by row
         row_sel = jnp.where(rows_mask, rows_ids, tr.max_kf)
         cur = m.kf_lm_idx[rows_ids]
@@ -625,7 +660,4 @@ class LocalBA:
         cur_ln = m.kf_ln_idx[rows_ids]
         new_ln_rows = jnp.where(bad_ln_edge, -1, cur_ln)
         new_kf_ln = m.kf_ln_idx.at[row_sel].set(new_ln_rows, mode="drop")
-        return m._replace(
-            kf_pose=new_kf_pose, pt_pos=new_pt_pos, kf_lm_idx=new_kf_lm,
-            ln_sw=new_ln_sw, ln_ew=new_ln_ew, kf_ln_idx=new_kf_ln,
-        )
+        return m._replace(kf_lm_idx=new_kf_lm, kf_ln_idx=new_kf_ln)

@@ -151,6 +151,17 @@ class System:
             # landmarks outside the step: recompute the tracking working set
             # (the in-step refresh at KF insertion predates those edits)
             self.state = self.tracker.refresh_local_set(self.state)
+        if (
+            self._loop is not None
+            and self._loop.gba_queue
+            and not self.localization_only
+        ):
+            # time-sliced global BA: one LM slice per frame — tracking
+            # continues on the partially-optimized map, the reference's
+            # transient-GBA-thread behavior (see LocalBA.slice_runner)
+            self.state = self._loop.pump_gba(self.state)
+            if not self._loop.gba_queue:
+                self.state = self.tracker.refresh_local_set(self.state)
         if prev_kf_valid is not None:
             self._pending_rebase = prev_kf_valid  # resolved next frame
         if new_kf and self._loop is None and not self.localization_only:
@@ -197,6 +208,7 @@ class System:
         visibility counters — the map pytree stays bit-identical."""
         import jax.numpy as jnp
 
+        self._flush_pending()  # finish any in-flight GBA before freezing
         self.localization_only = True
         self.state = self.state._replace(only_tracking=jnp.bool_(True))
 
@@ -219,10 +231,14 @@ class System:
         return pos[lm[lm >= 0]]
 
     def _flush_pending(self):
-        """Resolve a deferred culled-anchor rebase (see track_rgbd)."""
+        """Resolve a deferred culled-anchor rebase and drain any pending
+        global-BA slices (see track_rgbd) — save/load/mode switches must see
+        the fully-optimized map."""
         if self._pending_rebase is not None:
             self._rebase_culled_anchors(self._pending_rebase)
             self._pending_rebase = None
+        if self._loop is not None and self._loop.gba_queue:
+            self.state = self._loop.flush_gba(self.state)
 
     def reset(self):
         self._pending_rebase = None  # replay log is cleared below anyway
@@ -247,6 +263,7 @@ class System:
         a capability the reference lacks entirely (SURVEY.md §6)."""
         from plslam_tpu.io.snapshot import save_state
 
+        self._flush_pending()  # the snapshot must be the fully-optimized map
         save_state(path, self.state)
 
     def load_map(self, path: str | Path):

@@ -318,3 +318,16 @@ class TestGlobalBA:
         np.testing.assert_array_equal(
             np.asarray(m_opt.kf_pose[0]), np.asarray(m_pert.kf_pose[0])
         )
+
+        # the TIME-SLICED schedule (the transient-GBA-thread analogue that
+        # System.track_rgbd pumps one slice per frame) must converge like
+        # the monolithic run — same 10+10 iterations split 5/5/5/5, erase
+        # only on the last slice
+        m_sl = m_pert
+        for i1, i2, er in ((5, 0, False), (5, 0, False), (0, 5, False), (0, 5, True)):
+            m_sl = gba.slice_runner(i1, i2, er)(m_sl, jnp.int32(n_kf - 1))
+        after_sl = mean_reproj(m_sl)
+        assert after_sl < before * 0.1, (before, after_sl)
+        np.testing.assert_array_equal(
+            np.asarray(m_sl.kf_pose[0]), np.asarray(m_pert.kf_pose[0])
+        )
