@@ -129,7 +129,14 @@ class Tracker:
         max_feat: int = C.MAX_FEAT,
         max_lines: int = C.MAX_LINES,
         max_maplines: int = C.MAX_MAPLINES,
+        in_step_local_refresh: bool = True,
     ):
+        """in_step_local_refresh: recompute the TrackLocalMap working set
+        inside the step on keyframe frames. System sets this False because
+        it refreshes the set itself AFTER the mapper/loop chain mutates
+        landmarks — the in-step result would be overwritten unused, and the
+        covisibility scan is the most expensive piece of a KF frame's step
+        (~4.7 ms, device trace). Bare-Tracker loops (bench.py) keep it."""
         self.s = settings
         K, _ = settings.intrinsics()
         self.K = jnp.asarray(K)
@@ -142,6 +149,7 @@ class Tracker:
         self.log_scale = float(np.log(settings.scale_factor))
         self.kf_max_frames = int(round(settings.fps))  # MaxFrames = fps
         self.ws_cap = min(C.LOCAL_SET_CAP, max_pts)
+        self.in_step_local_refresh = bool(in_step_local_refresh)
         self.inv_sigma2 = jnp.asarray(inv_sigma2_table(settings.n_levels, settings.scale_factor))
 
     # ------------------------------------------------------------------ state
@@ -770,12 +778,17 @@ class Tracker:
         ref_kf = jnp.where(req.do_insert, k, ts.ref_kf)
         # refresh the working set around the new keyframe (the cond skips
         # the covisibility scan on the ~90% of frames with no KF)
-        local_set = jax.lax.cond(
-            req.do_insert,
-            lambda mm: self._compute_local_set(mm, k),
-            lambda mm: ts.local_set,
-            m,
-        )
+        if self.in_step_local_refresh:
+            local_set = jax.lax.cond(
+                req.do_insert,
+                lambda mm: self._compute_local_set(mm, k),
+                lambda mm: ts.local_set,
+                m,
+            )
+        else:
+            # System refreshes the set itself after the mapper/loop chain
+            # (tracker.refresh_local_set) — skip the in-step covis scan
+            local_set = ts.local_set
         last_new = LastFrame(
             uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
             desc=frame.desc, depth=frame.depth, valid=frame.valid,

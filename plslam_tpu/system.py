@@ -54,7 +54,17 @@ class System:
 
         self._jax = jax
         self.builder = FrameBuilder(settings)
-        self.tracker = Tracker(settings, max_kf=max_kf, max_pts=max_pts)
+        # System recomputes the tracking working set AFTER the mapper/loop
+        # chain mutates landmarks (track_rgbd below), so the step's own
+        # KF-frame refresh would be overwritten immediately — skip it (it is
+        # the single most expensive piece of a KF frame's step, ~4.7 ms:
+        # the covisibility scan's [MAX_KF, MAX_FEAT] membership gather).
+        # Bare-Tracker users (bench.py) keep the in-step refresh.
+        self.tracker = Tracker(
+            settings, max_kf=max_kf, max_pts=max_pts,
+            in_step_local_refresh=not (use_local_mapping or use_loop_closing
+                                       or settings.use_loop_closing),
+        )
         self.state = self.tracker.init_state()
         self.use_local_mapping = use_local_mapping
         self.use_loop_closing = (
