@@ -40,7 +40,7 @@ class System:
     ):
         """log_path: append one JSON line per tracked frame (schema:
         frame, t, state, inliers, matches, new_kf, kf_slot, n_kf, n_pt,
-        n_ln, loops_closed, ms)."""
+        n_ln, loops_closed, gba_pending, ms)."""
         if sensor.lower() != "rgbd":
             raise ValueError("only the RGB-D pipeline is supported (like the reference fork)")
         if not isinstance(settings, Settings):
@@ -54,6 +54,10 @@ class System:
 
         self._jax = jax
         self.builder = FrameBuilder(settings)
+        self.use_local_mapping = use_local_mapping
+        self.use_loop_closing = (
+            settings.use_loop_closing if use_loop_closing is None else use_loop_closing
+        )
         # System recomputes the tracking working set AFTER the mapper/loop
         # chain mutates landmarks (track_rgbd below), so the step's own
         # KF-frame refresh would be overwritten immediately — skip it (it is
@@ -62,14 +66,11 @@ class System:
         # Bare-Tracker users (bench.py) keep the in-step refresh.
         self.tracker = Tracker(
             settings, max_kf=max_kf, max_pts=max_pts,
-            in_step_local_refresh=not (use_local_mapping or use_loop_closing
-                                       or settings.use_loop_closing),
+            in_step_local_refresh=not (
+                self.use_local_mapping or self.use_loop_closing
+            ),
         )
         self.state = self.tracker.init_state()
-        self.use_local_mapping = use_local_mapping
-        self.use_loop_closing = (
-            settings.use_loop_closing if use_loop_closing is None else use_loop_closing
-        )
         self._mapper = None
         if use_local_mapping:
             from plslam_tpu.pipeline.mapping import LocalMapper
@@ -207,6 +208,10 @@ class System:
                 "n_pt": int(m.n_pt),
                 "n_ln": int(m.n_ln),
                 "loops_closed": self.n_loops_closed,
+                # slices of a time-sliced global BA still pending after this
+                # frame — attributes a closure's spread-out frame-time cost
+                # (LoopClosing::RunGlobalBundleAdjustment analogue)
+                "gba_pending": len(self._loop.gba_queue) if self._loop else 0,
                 "ms": round((_time.perf_counter() - t_start) * 1e3, 2),
             }) + "\n")
         return np.asarray(out.Tcw, np.float64) if tracked else None
