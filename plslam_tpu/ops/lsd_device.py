@@ -86,18 +86,61 @@ def support_maps(gray, grad_th: float = GRAD_TH, n_dirs: int = N_DIRS):
     return sup.astype(jnp.float32), mag
 
 
+def gather2d_mxu(plane, rows, cols):
+    """plane [R, W] + rows/cols i32[K] -> f32[K] = plane[rows[k], cols[k]].
+
+    TPU-native replacement for a K-point random gather. XLA lowers small
+    scalar gathers to a latency-bound scalar-unit loop (~0.6 us/element
+    through HBM — the anchor lookups cost 920 us/frame as one kCustom
+    fusion, device trace). Here row selection is a one-hot matmul on the
+    MXU and column selection a masked reduce: two dense ops, ~10 us, and
+    the plane's producer chain fuses in exactly once. f32 one-hot matmul
+    on TPU (bf16x3) keeps integer planes exact."""
+    R, W = plane.shape
+    k = rows.shape[0]
+    oh_r = (rows[:, None] == jnp.arange(R, dtype=rows.dtype)[None, :]).astype(
+        jnp.float32
+    )
+    sel = jnp.dot(oh_r, plane.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)  # [K, W]
+    oh_c = cols[:, None] == jnp.arange(W, dtype=cols.dtype)[None, :]
+    return jnp.sum(jnp.where(oh_c, sel, 0.0), axis=1)
+
+
 def detect_lines_device(
     gray,
     capacity: int = C.MAX_LINES,
     min_length_frac: float = C.MIN_LINE_LENGTH_FRAC,
     n_candidates: int = 256,
     cell: int = 32,
+    downscale: int = 2,
 ):
     """gray f32[H, W] (0..255) -> (sp f32[L, 2], ep f32[L, 2], valid bool[L]).
 
-    Endpoints in (x, y) pixel coords, longest first — the detect_lines_host
-    contract. Fully jittable."""
+    Endpoints in (x, y) FULL-RES pixel coords, longest first — the
+    detect_lines_host contract. Fully jittable.
+
+    downscale: detection resolution divisor. Lines are long structures, so
+    the whole-plane stages (support maps, oriented integration, extent
+    planes — ~35 HBM passes over [8, H, W]) run at half resolution by
+    default: 4x less traffic (920 -> ~230 us/frame on v5e, device trace)
+    for <=downscale px endpoint quantization, well inside the LBD band
+    width and the reprojection gates. LBD sampling stays full-res
+    (features/frame.py passes the original image)."""
     from plslam_tpu.ops import select
+
+    if downscale > 1:
+        d = downscale
+        Hf, Wf = gray.shape
+        gray = gray[: (Hf // d) * d, : (Wf // d) * d]
+        gray = gray.reshape(Hf // d, d, Wf // d, d).mean((1, 3))
+        sp, ep, ok = detect_lines_device(
+            gray, capacity, min_length_frac, n_candidates,
+            cell=max(8, cell // d), downscale=1,
+        )
+        # pixel-center mapping: half-res (x, y) -> full-res (d*x + (d-1)/2)
+        off = (d - 1) * 0.5
+        return sp * d + off, ep * d + off, ok
 
     H, W = gray.shape
     dirs_np, kern_np = _dir_tables()
@@ -124,6 +167,15 @@ def detect_lines_device(
     score = jnp.max(dens, 0)
     bbest = jnp.argmax(dens, 0).astype(jnp.int32)
     score = jnp.where(score >= DENSITY_TH, score, 0.0)
+    # density is a plateau ACROSS the edge (support spans the blur
+    # transition, wider in half-res pixels), and plain argmax tie-breaks
+    # toward the lower index — a systematic ~plateau-width anchor bias.
+    # Perturb by a magnitude term far below the 1/LINE_INTEG density
+    # quantum so the gradient peak wins within a plateau without ever
+    # reordering distinct densities.
+    score = jnp.where(
+        score > 0.0, score + mag * (0.02 / (LINE_INTEG * 100.0)), 0.0
+    )
     # border: walks sample with clipping; keep anchors off the frame edge
     bmask = jnp.zeros((H, W), bool).at[3 : H - 3, 3 : W - 3].set(True)
     score = jnp.where(bmask, score, 0.0)
@@ -150,8 +202,8 @@ def detect_lines_device(
     # die at the image border instead of re-sampling the border pixel;
     # (b) doubling composes rounded offsets (o(a)+o(b) vs o(a+b), <=1 px
     # drift per level), absorbed by a 1 px perpendicular dilation of D.
-    b_of = bbest[yx[:, 0], yx[:, 1]]  # [K]
-    d_of = dirs[b_of]  # [K, 2] (dx, dy)
+    b_of = jnp.round(gather2d_mxu(bbest, yx[:, 0], yx[:, 1])).astype(jnp.int32)
+    d_of = dirs[jnp.clip(b_of, 0, N_DIRS - 1)]  # [K, 2] tiny-table lookup
 
     def shift(plane, oy, ox):
         """plane sampled at p + (oy, ox); zeros outside the frame."""
@@ -186,20 +238,44 @@ def detect_lines_device(
         dx, dy = float(dirs_np[b, 0]), float(dirs_np[b, 1])
         ext_pos_l.append(extent_plane(sup_b[b], dx, dy))
         ext_neg_l.append(extent_plane(sup_b[b], -dx, -dy))
-    # barrier: without it XLA fuses the whole producer chain into the
-    # anchor gather's kCustom fusion and re-executes it per element
-    ext_pos_flat = jax.lax.optimization_barrier(jnp.stack(ext_pos_l).reshape(-1))
-    ext_neg_flat = jax.lax.optimization_barrier(jnp.stack(ext_neg_l).reshape(-1))
-    anchor_idx = (b_of * H + yx[:, 0]) * W + yx[:, 1]  # [K]
-    t_pos = ext_pos_flat[anchor_idx].astype(jnp.float32)
-    t_neg = ext_neg_flat[anchor_idx].astype(jnp.float32)
+    # per-anchor extent lookup from the [B, H, W] planes, viewed as one
+    # [B*H, W] plane with row b*H + y — MXU one-hot read (gather2d_mxu)
+    ext_pos_2d = jnp.stack(ext_pos_l).reshape(N_DIRS * H, W)
+    ext_neg_2d = jnp.stack(ext_neg_l).reshape(N_DIRS * H, W)
+    anchor_row = b_of * H + yx[:, 0]  # [K]
+    t_pos = gather2d_mxu(ext_pos_2d, anchor_row, yx[:, 1])
+    t_neg = gather2d_mxu(ext_neg_2d, anchor_row, yx[:, 1])
     length = t_pos + t_neg
     diag = float(np.hypot(H, W))
     min_len = max(min_length_frac * diag, float(LINE_INTEG))
     ok = cand_ok & (length >= min_len)
 
-    cy = yx[:, 0].astype(jnp.float32)
-    cx = yx[:, 1].astype(jnp.float32)
+    # subpixel: parabolic fit of gradient magnitude across the line at the
+    # anchor recovers the perpendicular quantization lost to `downscale`
+    # (the along-line coordinate needs no refinement — endpoints are gap
+    # breaks, not extrema). 3 MXU one-hot reads.
+    n_y = jnp.round(d_of[:, 0]).astype(jnp.int32)  # normal = (dx, dy) rot90
+    n_x = jnp.round(-d_of[:, 1]).astype(jnp.int32)
+    yy, xx = yx[:, 0], yx[:, 1]
+
+    def mag_at(dy_i, dx_i):
+        yi = jnp.clip(yy + dy_i, 0, H - 1)
+        xi = jnp.clip(xx + dx_i, 0, W - 1)
+        return gather2d_mxu(mag, yi, xi)
+
+    m0 = mag_at(0, 0)
+    mm = mag_at(-n_y, -n_x)
+    mp = mag_at(n_y, n_x)
+    denom = mm - 2.0 * m0 + mp
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-6, 0.5 * (mm - mp) / jnp.where(denom == 0, 1.0, denom), 0.0
+    )
+    delta = jnp.clip(delta, -1.0, 1.0)
+    off_x = delta * (-d_of[:, 1])
+    off_y = delta * d_of[:, 0]
+
+    cy = yx[:, 0].astype(jnp.float32) + off_y
+    cx = yx[:, 1].astype(jnp.float32) + off_x
     sp = jnp.stack([cx - t_neg * d_of[:, 0], cy - t_neg * d_of[:, 1]], -1)
     ep = jnp.stack([cx + t_pos * d_of[:, 0], cy + t_pos * d_of[:, 1]], -1)
 
