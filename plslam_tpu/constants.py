@@ -47,6 +47,10 @@ COVIS_ESSENTIAL_TH = 100  # strong edges kept in the essential graph
 # --- tracking policy (src/Tracking.cc) ---
 TH_DEPTH_DEFAULT = 40.0  # ThDepth: close/far split = ThDepth * baseline
 MIN_INLIERS_TRACK_LOCAL_MAP = 30  # TrackLocalMap accept (~900)
+# chi2-validated line inliers count toward the TrackLocalMap gate with this
+# weight (each line edge = TWO endpoint-to-line residuals; the PL fork's
+# line-dominant low-texture tracking depends on lines carrying the gate)
+LINE_INLIER_GATE_WEIGHT = 2
 MIN_INLIERS_AFTER_RELOC = 50
 MIN_MATCHES_MOTION_MODEL = 20  # TrackWithMotionModel (~700)
 MIN_MATCHES_REF_KF = 15  # TrackReferenceKeyFrame (~600)

@@ -91,8 +91,9 @@ def search_by_projection(
 
     kp_*: current-frame keypoints [N]; pred_uv/pred_octave/lm_*: landmarks
     projected into the current frame [M]. Search window per landmark is
-    radius * scale^pred_octave pixels; keypoint octave must be within
-    octave_tol of the prediction. Assignment is mutual-nearest (the
+    radius * scale^pred_octave pixels (radius may be a scalar or a
+    per-landmark [M] array — e.g. RadiusByViewingCos-modulated); keypoint
+    octave must be within octave_tol of the prediction. Assignment is mutual-nearest (the
     TPU-native stand-in for the reference's sequential claim-marking).
 
     Returns (match_kp i32[M] with -1 for unmatched, dist f32[M]).

@@ -185,8 +185,18 @@ def _pair_sign_matrix():
     return S
 
 
-def lbd_descriptor(gx, gy, sp, ep, valid, exact: bool = False):
-    """-> u8[L, 32] binary LBD."""
+def lbd_descriptor(gx, gy, sp, ep, valid, exact: bool | None = None):
+    """-> u8[L, 32] binary LBD.
+
+    exact=None auto-selects: the subsampled fast grid (mean 6.2-bit
+    deviation from the oracle) only at production resolution
+    (min(H, W) >= 320, the 640x480 shape the 920->351 us saving was
+    measured on); small images take the exact path — there the absolute
+    saving is negligible and the descriptor deviation measurably costs
+    tracking robustness (tiny-caps soak at 192x256 lost 3 extra frames
+    on the fast path)."""
+    if exact is None:
+        exact = min(gx.shape[-2:]) < 320
     v = lbd_vector(gx, gy, sp, ep, valid, exact=exact)
     diff = v @ jnp.asarray(_pair_sign_matrix())  # [L, N_BITS]
     bits = (diff > 0).astype(jnp.uint32).reshape(v.shape[0], 32, 8)

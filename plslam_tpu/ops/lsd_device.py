@@ -113,7 +113,7 @@ def detect_lines_device(
     min_length_frac: float = C.MIN_LINE_LENGTH_FRAC,
     n_candidates: int = 256,
     cell: int = 32,
-    downscale: int = 2,
+    downscale: int | None = None,
 ):
     """gray f32[H, W] (0..255) -> (sp f32[L, 2], ep f32[L, 2], valid bool[L]).
 
@@ -125,9 +125,17 @@ def detect_lines_device(
     planes — ~35 HBM passes over [8, H, W]) run at half resolution by
     default: 4x less traffic (920 -> ~230 us/frame on v5e, device trace)
     for <=downscale px endpoint quantization, well inside the LBD band
-    width and the reprojection gates. LBD sampling stays full-res
-    (features/frame.py passes the original image)."""
+    width and the reprojection gates at VGA scale. LBD sampling stays
+    full-res (features/frame.py passes the original image).
+
+    `None` auto-selects: 2 when min(H, W) >= 320 (the 640x480 production
+    shape), else 1 — on small images the half-res endpoint quantization
+    is proportionally ~2.5x coarser and measurably degrades the pose
+    solve (tiny-caps soak: tracking lost 5 frames early at 192x256)."""
     from plslam_tpu.ops import select
+
+    if downscale is None:
+        downscale = 2 if min(gray.shape) >= 320 else 1
 
     if downscale > 1:
         d = downscale
@@ -203,7 +211,14 @@ def detect_lines_device(
     # (b) doubling composes rounded offsets (o(a)+o(b) vs o(a+b), <=1 px
     # drift per level), absorbed by a 1 px perpendicular dilation of D.
     b_of = jnp.round(gather2d_mxu(bbest, yx[:, 0], yx[:, 1])).astype(jnp.int32)
-    d_of = dirs[jnp.clip(b_of, 0, N_DIRS - 1)]  # [K, 2] tiny-table lookup
+    # tiny-table lookup as one-hot contraction, NOT dirs[clip(b_of)]: XLA
+    # fuses the [K] gather with gather2d_mxu's whole-plane one-hot matmul
+    # producer and re-executes it per gathered element (measured 350
+    # us/frame for an 8-entry table read, device trace)
+    oh_b = (
+        b_of[:, None] == jnp.arange(N_DIRS, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    d_of = oh_b @ dirs.astype(jnp.float32)  # [K, 2]
 
     def shift(plane, oy, ox):
         """plane sampled at p + (oy, ox); zeros outside the frame."""

@@ -34,7 +34,11 @@ def select_topk_grid(score, k: int, cell: int = 16):
     resp, idx = jax.lax.top_k(flat_best, k)
     idx = jnp.minimum(idx, ch * cw - 1)
     cy, cx = idx // cw, idx % cw
-    within = jnp.take(cell_arg.reshape(-1), idx)
+    # barrier: without it XLA fuses the whole blocks/argmax producer chain
+    # INTO the k-element kCustom gather and re-executes it per gathered
+    # element (measured 351 us/frame; ~15 us with the plane materialized)
+    cell_arg_flat = jax.lax.optimization_barrier(cell_arg.reshape(-1))
+    within = jnp.take(cell_arg_flat, idx)
     y = cy * cell + within // cell
     x = cx * cell + within % cell
     valid = resp > 0.0
@@ -56,8 +60,11 @@ def subpixel_refine(score, yx):
     H, W = score.shape
     y = jnp.clip(yx[:, 0], 1, H - 2)
     x = jnp.clip(yx[:, 1], 1, W - 2)
-    flat = score.reshape(-1)  # flat 1D gathers (2D advanced-index gathers
-    base = y * W + x  # lower poorly on this backend)
+    # flat 1D gathers (2D advanced-index gathers lower poorly on this
+    # backend); barrier so the score-map producer is not re-executed per
+    # gathered element (see select_topk_grid)
+    flat = jax.lax.optimization_barrier(score.reshape(-1))
+    base = y * W + x
 
     def at(off):
         return flat[base + off]

@@ -71,19 +71,23 @@ class LocalMapper:
         """MapPointCulling: the reference checks points created in the last
         2-3 keyframes; found ratio and observation count gates."""
         found_ratio = m.pt_found / jnp.clip(m.pt_visible, 1.0)
-        age = kf_id - m.pt_first_kf  # in keyframes
+        # age in KEYFRAMES via the monotonic creation sequence — slot ids
+        # are not creation order once the free list recycles slots, and a
+        # slot-difference "age" silently mis-classifies every point after
+        # the first wrap (found as the tiny-caps soak regression).
+        age = m.kf_seq[kf_id] - m.pt_first_seq
         # Only RECENT points are cull candidates — the reference iterates
         # mlpRecentAddedMapPoints and drops survivors from the list after 3
         # KFs (MapPointCulling ~180); mature points are never re-examined.
-        recent = (age >= 1) & (age <= C.CULL_UNSEEN_KFS) & (m.pt_first_kf < kf_id)
+        recent = (age >= 1) & (age <= C.CULL_UNSEEN_KFS)
         bad = m.pt_valid & recent & (
             ((found_ratio < C.CULL_FOUND_RATIO) & (m.pt_visible > 2))
             | ((age >= 2) & (m.pt_nobs <= C.KF_CULL_MIN_OBS))
         )
         # MapLineCulling: same policy on the line twin
         ln_ratio = m.ln_found / jnp.clip(m.ln_visible, 1.0)
-        ln_age = kf_id - m.ln_first_kf
-        ln_recent = (ln_age >= 1) & (ln_age <= C.CULL_UNSEEN_KFS) & (m.ln_first_kf < kf_id)
+        ln_age = m.kf_seq[kf_id] - m.ln_first_seq
+        ln_recent = (ln_age >= 1) & (ln_age <= C.CULL_UNSEEN_KFS)
         ln_bad = m.ln_valid & ln_recent & (
             ((ln_ratio < C.CULL_FOUND_RATIO) & (m.ln_visible > 2))
             | ((ln_age >= 2) & (m.ln_nobs <= C.KF_CULL_MIN_OBS))
@@ -241,6 +245,9 @@ class LocalMapper:
                 pt_valid=m.pt_valid.at[sid].set(True, mode="drop"),
                 pt_ref_kf=m.pt_ref_kf.at[sid].set(k, mode="drop"),
                 pt_first_kf=m.pt_first_kf.at[sid].set(k, mode="drop"),
+                pt_first_seq=m.pt_first_seq.at[sid].set(
+                    m.kf_seq[k], mode="drop"
+                ),
                 # triangulated far points are MONO observations (no depth)
                 pt_nobs=m.pt_nobs.at[sid].set(2, mode="drop"),
                 pt_visible=m.pt_visible.at[sid].set(1.0, mode="drop"),
@@ -358,6 +365,7 @@ class LocalMapper:
             ln_valid=m.ln_valid.at[sid].set(True, mode="drop"),
             ln_ref_kf=m.ln_ref_kf.at[sid].set(k, mode="drop"),
             ln_first_kf=m.ln_first_kf.at[sid].set(k, mode="drop"),
+            ln_first_seq=m.ln_first_seq.at[sid].set(m.kf_seq[k], mode="drop"),
             ln_nobs=m.ln_nobs.at[sid].set(2, mode="drop"),
             ln_visible=m.ln_visible.at[sid].set(1.0, mode="drop"),
             ln_found=m.ln_found.at[sid].set(1.0, mode="drop"),
@@ -702,6 +710,60 @@ class LocalMapper:
 
         return jax.jit(f)
 
+    # ------------------------------------------------------ capacity eviction
+    @functools.cached_property
+    def _ensure_free_slot(self):
+        return jax.jit(self._ensure_free_slot_impl)
+
+    def _ensure_free_slot_impl(self, m: MapState, k) -> MapState:
+        """Guarantee >= 1 free keyframe slot for the NEXT insertion.
+
+        When the fixed-capacity ring is full and redundancy culling found
+        nothing to cull, evict the keyframe sharing the fewest landmarks
+        with the fresh keyframe k (never the origin slot 0, never k
+        itself) — the capacity-pressure analogue of KeyFrameCulling's
+        redundancy rule (~650). Without this the tracker's insert silently
+        no-ops once the ring fills and the map freezes while the camera
+        explores (the round-3 tiny-caps soak failure). Runs at the END of
+        the mapper chain — off the per-frame critical path (an in-step
+        eviction cond cost ~0.8 ms/frame even untaken). pt/ln references
+        to the evicted slot are reassigned here exactly like _kf_cull."""
+        tr = self.tracker
+        full = ~jnp.any(~m.kf_valid)
+        covis = covisibility(m)
+        slot_ids = jnp.arange(tr.max_kf)
+        protect = (slot_ids == 0) | (slot_ids == k)
+        score = jnp.where(
+            m.kf_valid & ~protect, covis[k], jnp.iinfo(jnp.int32).max
+        )
+        victim = jnp.argmin(score).astype(jnp.int32)
+        kf_valid = m.kf_valid.at[victim].set(
+            jnp.where(full, False, m.kf_valid[victim])
+        )
+        m = m._replace(
+            kf_valid=kf_valid,
+            kf_feat_valid=m.kf_feat_valid & kf_valid[:, None],
+            kf_ln_valid=m.kf_ln_valid & kf_valid[:, None],
+        )
+        # reassign references + re-derive observation counts (same recipe
+        # as _kf_cull_impl: the victim's observations vanished)
+        obs = observation_matrix(m)
+        ref_bad = m.pt_valid & ~kf_valid[jnp.clip(m.pt_ref_kf, 0)]
+        fallback = jnp.argmax(obs, axis=0).astype(jnp.int32)
+        pt_ref = jnp.where(ref_bad & jnp.any(obs, 0), fallback, m.pt_ref_kf)
+        ln_obs = line_observation_matrix(m)
+        ln_ref_bad = m.ln_valid & ~kf_valid[jnp.clip(m.ln_ref_kf, 0)]
+        ln_fallback = jnp.argmax(ln_obs, axis=0).astype(jnp.int32)
+        ln_ref = jnp.where(
+            ln_ref_bad & jnp.any(ln_obs, 0), ln_fallback, m.ln_ref_kf
+        )
+        return refresh_counts(m._replace(
+            pt_nobs=weighted_point_nobs(m),
+            ln_nobs=2 * jnp.sum(ln_obs, 0).astype(jnp.int32),
+            pt_ref_kf=pt_ref,
+            ln_ref_kf=ln_ref,
+        ))
+
     def process(self, m: MapState, kf_id: int) -> MapState:
         """Host entry after keyframe insertion. Every stage is a jitted
         device program and kf_id arrives as a device scalar: this method
@@ -737,4 +799,7 @@ class LocalMapper:
         m = self._refresh_lines(m, k)
         if self.enable_kf_culling:
             m = self._kf_cull(m, k)
+        # ALWAYS last: the next tracker insertion must find a free slot
+        # (see _ensure_free_slot_impl)
+        m = self._ensure_free_slot(m, k)
         return m

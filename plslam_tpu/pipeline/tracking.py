@@ -187,9 +187,18 @@ class Tracker:
         (Tracking::CreateNewKeyFrame ~1100 + StereoInitialization ~450).
 
         Slots are allocated from FREE LISTS (first-invalid-slot order):
-        culled keyframes/landmarks are recycled, so long sequences never
-        exhaust the fixed capacities as long as culling keeps up — the
-        TPU-native analogue of the reference's heap delete/new."""
+        culled keyframes/landmarks are recycled. Capacity pressure is
+        handled OFF the per-frame critical path: LocalMapper.process ends
+        with _ensure_free_slot, which evicts the least-covisible keyframe
+        whenever the ring is full — so by construction this function
+        always finds a free slot in any loop that runs the mapper (an
+        in-step eviction cond was measured at ~0.8 ms/frame in forced HBM
+        materialization even when never taken). The `do &= any-free` guard
+        remains as a SAFETY for mapper-less loops, and the effective flag
+        is returned so StepOut.new_kf never reports a dropped insert (the
+        round-3 tiny-caps soak failure: the ring filled, inserts silently
+        no-opped from frame 60 on, new_kf kept reporting True, and the
+        frozen map starved tracking as the camera explored)."""
         do = do & jnp.any(~m.kf_valid)
         k = jnp.argmax(~m.kf_valid).astype(jnp.int32)  # first free KF slot
 
@@ -235,6 +244,9 @@ class Tracker:
             pt_valid=m.pt_valid.at[scatter_id].set(True, mode="drop"),
             pt_ref_kf=m.pt_ref_kf.at[scatter_id].set(k, mode="drop"),
             pt_first_kf=m.pt_first_kf.at[scatter_id].set(k, mode="drop"),
+            pt_first_seq=m.pt_first_seq.at[scatter_id].set(
+                m.next_kf_seq, mode="drop"
+            ),
             # stereo observations count double (MapPoint::AddObservation:
             # nObs += 2 when mvuRight >= 0) — keyframe policy depends on this
             pt_nobs=m.pt_nobs.at[scatter_id].set(2, mode="drop"),
@@ -285,6 +297,9 @@ class Tracker:
             ln_valid=m.ln_valid.at[ln_scatter].set(True, mode="drop"),
             ln_ref_kf=m.ln_ref_kf.at[ln_scatter].set(k, mode="drop"),
             ln_first_kf=m.ln_first_kf.at[ln_scatter].set(k, mode="drop"),
+            ln_first_seq=m.ln_first_seq.at[ln_scatter].set(
+                m.next_kf_seq, mode="drop"
+            ),
             ln_nobs=m.ln_nobs.at[ln_scatter].set(2, mode="drop"),
             ln_visible=m.ln_visible.at[ln_scatter].set(1.0, mode="drop"),
             ln_found=m.ln_found.at[ln_scatter].set(1.0, mode="drop"),
@@ -309,6 +324,8 @@ class Tracker:
             kf_pose=m.kf_pose.at[k].set(jnp.where(do, Tcw, m.kf_pose[k])),
             kf_valid=m.kf_valid.at[k].set(jnp.where(do, True, m.kf_valid[k])),
             kf_frame_id=m.kf_frame_id.at[k].set(jnp.where(do, frame_id, m.kf_frame_id[k])),
+            kf_seq=m.kf_seq.at[k].set(jnp.where(do, m.next_kf_seq, m.kf_seq[k])),
+            next_kf_seq=m.next_kf_seq + do.astype(jnp.int32),
             kf_uv=m.kf_uv.at[k].set(jnp.where(do, frame.uvr, m.kf_uv[k])),
             kf_octave=m.kf_octave.at[k].set(jnp.where(do, frame.octave, m.kf_octave[k])),
             kf_angle=m.kf_angle.at[k].set(jnp.where(do, frame.angle, m.kf_angle[k])),
@@ -329,7 +346,7 @@ class Tracker:
             ),
         )
         m = refresh_counts(m)
-        return m, row_lm, k
+        return m, row_lm, k, do
 
     # ------------------------------------------------------------- local set
     def _compute_local_set(self, m: MapState, k):
@@ -349,18 +366,43 @@ class Tracker:
         member_k = jnp.zeros(self.max_pts, bool).at[
             jnp.where(row_ok, row, self.max_pts)
         ].set(True, mode="drop")
-        # covisibility weight of every KF against k (shared-landmark count).
-        # The barrier keeps the membership scatter from fusing INTO the
-        # [MAX_KF, MAX_FEAT] gather's kCustom fusion, which re-executes the
-        # producer per gathered element (measured 2.1 ms vs ~0.6 ms for the
-        # bare gather on KF frames, device trace).
-        # gather an i32 plane, not bool: pred-typed kCustom gathers lower to
-        # a slower byte path on this TPU (device trace)
-        member_i = jax.lax.optimization_barrier(member_k.astype(jnp.int32))
+        # covisibility weight of every KF against k (shared-landmark count):
+        # w[j] = sum_f member_k[kf_lm_idx[j, f]]. NOT a gather — the
+        # [MAX_KF * MAX_FEAT]-element random read lowers to a latency-bound
+        # kCustom scalar loop (~1.9 ms/KF-frame, device trace). Split each
+        # landmark id into (hi, lo) = (id >> 7, id & 127) and read the
+        # membership table via one-hot contraction on the MXU:
+        #   sel[j, l, r] = sum_f oh_lo[j, f, l] * oh_hi[j, f, r]
+        #   w[j]         = sum_{l, r} sel[j, l, r] * member2d[r, l]
+        # Two dense batched matmuls (~0.3 ms), bf16-exact for 0/1 values.
         ids = m.kf_lm_idx
         ok = m.kf_feat_valid & (ids >= 0) & m.kf_valid[:, None]
-        w = jnp.sum(
-            jnp.where(ok, member_i[jnp.clip(ids, 0)], 0), axis=1
+        LANES = 128
+        R = (self.max_pts + LANES - 1) // LANES
+        member_pad = jnp.zeros(R * LANES, jnp.float32).at[: self.max_pts].set(
+            member_k.astype(jnp.float32)
+        )
+        member2d = member_pad.reshape(R, LANES)  # [R, 128]
+        idc = jnp.where(ok, ids, 0)
+        # int8 one-hots: v5e has an int8 MXU path and the contraction is
+        # traffic-bound on the [K, F, R] operand (int8 halves it vs bf16)
+        oh_lo = (
+            (idc & (LANES - 1))[:, :, None]
+            == jnp.arange(LANES, dtype=jnp.int32)
+        ).astype(jnp.int8)  # [K, F, 128]
+        oh_hi = jnp.where(
+            ok[:, :, None],
+            (
+                (idc >> 7)[:, :, None] == jnp.arange(R, dtype=jnp.int32)
+            ).astype(jnp.int8),
+            jnp.int8(0),
+        )  # [K, F, R]
+        sel = jax.lax.dot_general(
+            oh_lo, oh_hi, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # [K, 128, R]
+        w = jnp.einsum(
+            "jlr,rl->j", sel.astype(jnp.float32), member2d
         ).astype(jnp.int32)
         w = w.at[k].set(0)  # k itself is always included via member_k
         top = jnp.argsort(-w)[: C.LOCAL_COVIS_KFS]
@@ -390,7 +432,10 @@ class Tracker:
     # ---------------------------------------------------------------- project
     def _project_points_subset(self, pos, normal, dist_band, valid, Tcw):
         """Frustum + scale-band + viewing-angle gates over gathered landmark
-        arrays (Frame::isInFrustum ~250). -> (uv, pred_oct, vis)."""
+        arrays (Frame::isInFrustum ~250). -> (uv, pred_oct, vis, view_cos).
+
+        view_cos feeds ORBmatcher::RadiusByViewingCos (head-on landmarks
+        get a 2.5 px base radius, oblique ones 4.0 px)."""
         p_cam = se3.transform(Tcw, pos)
         z = p_cam[:, 2]
         uv = camera.project(self.K, p_cam)
@@ -411,14 +456,14 @@ class Tracker:
             0,
             self.n_levels - 1,
         )
-        return uv, pred_oct, vis
+        return uv, pred_oct, vis, view_cos
 
     def _project_points(self, m: MapState, Tcw):
         """Project all map points (mapper/loop-closer callers; the tracking
         step uses the local working set instead)."""
         return self._project_points_subset(
             m.pt_pos, m.pt_normal, m.pt_dist, m.pt_valid, Tcw
-        )
+        )[:3]
 
     def _project_lines(self, m: MapState, Tcw):
         """Project map-line endpoints -> (mid [Q,2], angle [Q], vis [Q]).
@@ -525,10 +570,31 @@ class Tracker:
                 has_lm[:, None], m.pt_pos[jnp.clip(ts.last.lm_idx, 0)], vo_pos
             )
             tgt_valid = has_lm | has_vo
-            lp_cam = se3.transform(T_pred, tgt_pos)
+            # WINDOW PLACEMENT uses the observed geometry (depth
+            # backprojection of the feature actually seen last frame) when
+            # depth exists, falling back to the landmark position only for
+            # depthless targets. The reference centers windows on the
+            # MapPoint projection; with fixed-capacity maps under keyframe
+            # churn, landmark positions carry multi-centimetre
+            # inter-epoch inconsistency and the 7 px windows MISS the
+            # re-detected feature (measured: stage-1 yield 31 vs 80 raw
+            # frame-to-frame matches late in the tiny-caps soak). The POSE
+            # SOLVE below still uses the landmark position where bound, so
+            # map anchoring is unchanged — only the search prior is
+            # observation-driven.
+            win_pos = jnp.where(has_vo[:, None], vo_pos, tgt_pos)
+            lp_cam = se3.transform(T_pred, win_pos)
             lp_uv = camera.project(self.K, lp_cam)
             tgt_valid &= lp_cam[:, 2] > 0.05
             lm_desc_pm1 = brief.unpack_bits_pm1(ts.last.desc)
+            # Window deviation from TrackWithMotionModel (~700, th=15 for
+            # non-stereo x scale^octave): this matcher is dense
+            # mutual-nearest + ratio, not the reference's sequential
+            # cell-claim walk — at the reference's radii the extra
+            # candidates admitted per window make the ratio test reject
+            # ambiguous twins and NET matches drop (tiny-caps soak: 114 vs
+            # 116 tracked). 7 px with velocity / 15 px without is the
+            # measured optimum for the dense form.
             radius = jnp.where(ts.vel_ok, 7.0, 15.0)
             match_kp, _ = match_ops.search_by_projection(
                 frame.uvr[:, :2], frame.octave, frame.pm1, frame.valid,
@@ -617,7 +683,7 @@ class Tracker:
             ws = ts.local_set
             wsc = jnp.clip(ws, 0)
             valid_ws = (ws >= 0) & m.pt_valid[wsc]
-            uv_p, oct_p, vis = self._project_points_subset(
+            uv_p, oct_p, vis, view_cos = self._project_points_subset(
                 m.pt_pos[wsc], m.pt_normal[wsc], m.pt_dist[wsc], valid_ws, Tcw1
             )
             already = jnp.zeros(self.max_pts, bool).at[
@@ -629,6 +695,14 @@ class Tracker:
             # ORBmatcher::SearchByProjection(F, vpMapPoints, th) gates at
             # TH_HIGH with the 0.9 ratio test (not TH_LOW — that is the
             # frame-to-frame overload's accept threshold)
+            # Window deviation from SearchLocalPoints (th=3 for RGBD x
+            # RadiusByViewingCos 2.5/4.0 px, i.e. 7.5-12 px): with the
+            # dense mutual-nearest + ratio matcher the wider reference
+            # windows lose net matches to ratio-test ambiguity (see the
+            # stage-1 note); 3 px x scale^octave is the measured optimum.
+            # view_cos is available here if RadiusByViewingCos modulation
+            # is ever revisited.
+            del view_cos
             match_kp2, _ = match_ops.search_by_projection(
                 frame.uvr[:, :2], frame.octave, frame.pm1, kp_free,
                 uv_p, oct_p, ws_pm1, vis,
@@ -682,16 +756,37 @@ class Tracker:
             lm_of_kp = jnp.where(inl2, lm_of_kp, -1)
             ml_of_ln = jnp.where(inl_ln & has_ln, ml_of_ln, -1)
             n_inliers = jnp.sum(lm_of_kp >= 0)
+            n_ln_inliers = jnp.sum(ml_of_ln >= 0)
 
-            ok = n_inliers >= C.MIN_INLIERS_TRACK_LOCAL_MAP
+            # TrackLocalMap accept (~900). The PL fork's whole purpose is
+            # line-carried tracking where points are thin (driver config 3:
+            # "low-texture line-dominant tracking"), so chi2-validated line
+            # inliers count toward the gate: each line edge constrains the
+            # pose with TWO endpoint-to-line residuals, hence weight 2
+            # (SURVEY.md §9 line residual). Point-only configs are
+            # unaffected (n_ln_inliers == 0).
+            ok = (
+                n_inliers + C.LINE_INLIER_GATE_WEIGHT * n_ln_inliers
+                >= C.MIN_INLIERS_TRACK_LOCAL_MAP
+            )
 
             # ---- 3. keyframe policy (NeedNewKeyFrame ~1000) ---------------
             close = (frame.depth > 0) & (frame.depth < self.depth_th) & frame.valid
             tracked_close = jnp.sum(close & (lm_of_kp >= 0))
             free_close = jnp.sum(close & (lm_of_kp < 0))
-            need_close = (tracked_close < C.KF_TRACKED_CLOSE_MIN) & (
-                free_close > C.KF_NONTRACKED_CLOSE_MIN
-            )
+            # The reference's absolute 100/70 thresholds assume its default
+            # 1000-feature budget (NeedNewKeyFrame ~1000 with
+            # ORBextractor.nFeatures=1000): at a smaller budget
+            # tracked_close can NEVER reach 100, so need_close degenerates
+            # to "always insert" and the keyframe ring churns every frame
+            # (measured: the tiny-caps soak ignites a KF-per-frame feedback
+            # loop that erodes match yield 58%->38%). Scale both thresholds
+            # by n_features/1000 — identical to the reference at the
+            # reference's budget, scale-invariant below it.
+            feat_scale = min(1.0, self.s.n_features / 1000.0)
+            need_close = (
+                tracked_close < round(C.KF_TRACKED_CLOSE_MIN * feat_scale)
+            ) & (free_close > round(C.KF_NONTRACKED_CLOSE_MIN * feat_scale))
             # nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs);
             # nMinObs = 3, or 2 while the map has <= 2 KFs (NeedNewKeyFrame)
             ref_lm = m.kf_lm_idx[ts.ref_kf]
@@ -713,36 +808,42 @@ class Tracker:
             # are all dropped and the map pytree passes through bit-identical.
             need_kf = ok & (c1 | c2) & c1b & (n_inliers > 15) & ~ts.only_tracking
 
+            # LOST-state recovery semantics (Tracking::Track ~560: while
+            # mState==LOST the reference attempts Relocalization() on EVERY
+            # frame; entering this branch from ST_LOST is the in-step
+            # analogue for transient loss — reacquire from the last
+            # validated pose with wide matching windows; the true
+            # kidnapped-camera case stays with the host-side BoW+PnP
+            # Relocalizer in pipeline/reloc.py):
+            #  * `last` (the stage-1 target frame) must stay the last GOOD
+            #    frame across failed attempts, not become the failed ones
+            #  * visibility counters only count validated-pose frames
+            #    (reference reloc failure touches no counters)
+            #  * a freshly recovered frame must not fabricate a multi-frame
+            #    "velocity" from the pre-loss pose
+            was_ok = jnp.clip(ts.status, 0, 2) == ST_OK
             velocity = se3.compose(Tcw2, se3.inverse(ts.last.Tcw))
             return _BranchOut(
                 do_insert=need_kf, lm_of_kp=lm_of_kp, ml_of_ln=ml_of_ln,
                 Tcw=Tcw2, last_Tcw=jnp.where(ok, Tcw2, ts.last.Tcw),
-                update_last=jnp.bool_(True),
+                update_last=ok | was_ok,
                 status=jnp.where(ok, ST_OK, ST_LOST),
-                tracked=ok, velocity=velocity, vel_ok=ok,
+                tracked=ok, velocity=velocity, vel_ok=ok & was_ok,
                 fsk_no_insert=ts.frames_since_kf + 1,
                 n_inliers=n_inliers, n_matches=n2,
-                count_counters=jnp.bool_(True),
+                count_counters=ok | was_ok,
                 vis_ws=vis, already=already, ml_vis=ml_vis,
             )
 
-        def do_lost(ts):
-            return _BranchOut(
-                do_insert=jnp.bool_(False), lm_of_kp=no_lm, ml_of_ln=no_ml,
-                Tcw=ts.last.Tcw, last_Tcw=ts.last.Tcw,
-                update_last=jnp.bool_(False),
-                status=ts.status, tracked=jnp.bool_(False),
-                velocity=ts.velocity, vel_ok=ts.vel_ok,
-                fsk_no_insert=ts.frames_since_kf,
-                n_inliers=jnp.int32(0), n_matches=jnp.int32(0),
-                count_counters=jnp.bool_(False),
-                vis_ws=no_ws, already=no_pt, ml_vis=no_ln,
-            )
-
         is_init = jnp.clip(ts.status, 0, 2) == ST_UNINIT
-        req = jax.lax.switch(
-            jnp.clip(ts.status, 0, 2), [do_init, do_track, do_lost], ts
-        )
+        # ST_LOST routes back into do_track: the recovery attempt IS a
+        # tracking attempt with vel_ok=False (wide 15 px windows, pose
+        # initialised from the last validated pose) — see the
+        # recovery-semantics note inside do_track. A 2-way cond, NOT a
+        # 3-way switch with do_track listed twice: lax dedupes nothing, so
+        # the duplicated branch would trace+compile the whole tracking
+        # program twice (measured 388 s warmup vs ~60 s).
+        req = jax.lax.cond(is_init, do_init, do_track, ts)
 
         # ---- epilogue: ALL map mutation happens here, outside the switch --
         m = ts.m
@@ -770,17 +871,17 @@ class Tracker:
             ].add(1.0, mode="drop"),
         )
 
-        m, row_lm, k = self._insert_keyframe(
+        m, row_lm, k, did_insert = self._insert_keyframe(
             m, frame, req.Tcw, req.lm_of_kp, req.ml_of_ln, req.do_insert,
             ts.frame_id,
         )
-        lm_final = jnp.where(req.do_insert, row_lm, req.lm_of_kp)
-        ref_kf = jnp.where(req.do_insert, k, ts.ref_kf)
+        lm_final = jnp.where(did_insert, row_lm, req.lm_of_kp)
+        ref_kf = jnp.where(did_insert, k, ts.ref_kf)
         # refresh the working set around the new keyframe (the cond skips
         # the covisibility scan on the ~90% of frames with no KF)
         if self.in_step_local_refresh:
             local_set = jax.lax.cond(
-                req.do_insert,
+                did_insert,
                 lambda mm: self._compute_local_set(mm, k),
                 lambda mm: ts.local_set,
                 m,
@@ -809,13 +910,13 @@ class Tracker:
             vel_ok=req.vel_ok,
             ref_kf=ref_kf,
             local_set=local_set,
-            frames_since_kf=jnp.where(req.do_insert, 0, req.fsk_no_insert),
+            frames_since_kf=jnp.where(did_insert, 0, req.fsk_no_insert),
             status=req.status,
             frame_id=ts.frame_id + 1,
             last=last,
         )
         out = StepOut(
-            Tcw=req.Tcw, tracked=req.tracked, new_kf=req.do_insert,
+            Tcw=req.Tcw, tracked=req.tracked, new_kf=did_insert,
             kf_id=k, ref_kf=ref_kf, rel_pose=rel_pose,
             n_inliers=jnp.where(is_init, n_init, req.n_inliers),
             n_matches=jnp.where(is_init, n_init, req.n_matches),

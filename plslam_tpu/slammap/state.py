@@ -28,6 +28,11 @@ class MapState(NamedTuple):
     kf_pose: jnp.ndarray  # f32[K, 4, 4] Tcw
     kf_valid: jnp.ndarray  # bool[K]
     kf_frame_id: jnp.ndarray  # i32[K]
+    # monotonic creation sequence number per slot. Slot indices are NOT
+    # creation order once the free list recycles slots, so any "age in
+    # keyframes" logic (MapPointCulling ~180: cull at 2-3 KFs after
+    # creation) must use this, never the slot id.
+    kf_seq: jnp.ndarray  # i32[K]
     # (keyframe timestamps are host-side metadata: f32 cannot hold TUM epochs)
     # per-KF point features (BA edges + matching live here)
     kf_uv: jnp.ndarray  # f32[K, F, 3] undistorted (u, v, u_r); u_r<0: mono
@@ -51,6 +56,7 @@ class MapState(NamedTuple):
     pt_valid: jnp.ndarray  # bool[P]
     pt_ref_kf: jnp.ndarray  # i32[P]
     pt_first_kf: jnp.ndarray  # i32[P]
+    pt_first_seq: jnp.ndarray  # i32[P] kf_seq of the creating keyframe
     pt_nobs: jnp.ndarray  # i32[P]
     pt_visible: jnp.ndarray  # f32[P] IncreaseVisible counter
     pt_found: jnp.ndarray  # f32[P] IncreaseFound counter
@@ -67,6 +73,7 @@ class MapState(NamedTuple):
     ln_valid: jnp.ndarray  # bool[Q]
     ln_ref_kf: jnp.ndarray  # i32[Q]
     ln_first_kf: jnp.ndarray  # i32[Q]
+    ln_first_seq: jnp.ndarray  # i32[Q] kf_seq of the creating keyframe
     ln_nobs: jnp.ndarray  # i32[Q]
     ln_visible: jnp.ndarray  # f32[Q]
     ln_found: jnp.ndarray  # f32[Q]
@@ -74,6 +81,7 @@ class MapState(NamedTuple):
     n_kf: jnp.ndarray  # i32[] number of VALID keyframes (slots are reused)
     n_pt: jnp.ndarray  # i32[] number of valid map points
     n_ln: jnp.ndarray  # i32[] number of valid map lines
+    next_kf_seq: jnp.ndarray  # i32[] monotonic keyframe creation counter
 
 
 def empty_map(
@@ -89,6 +97,7 @@ def empty_map(
         kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
         kf_valid=jnp.zeros(K, bool),
         kf_frame_id=jnp.zeros(K, i32),
+        kf_seq=jnp.zeros(K, i32),
         kf_uv=jnp.zeros((K, F, 3), f32),
         kf_octave=jnp.zeros((K, F), i32),
         kf_angle=jnp.zeros((K, F), f32),
@@ -108,6 +117,7 @@ def empty_map(
         pt_valid=jnp.zeros(P, bool),
         pt_ref_kf=jnp.zeros(P, i32),
         pt_first_kf=jnp.zeros(P, i32),
+        pt_first_seq=jnp.zeros(P, i32),
         pt_nobs=jnp.zeros(P, i32),
         pt_visible=jnp.ones(P, f32),
         pt_found=jnp.ones(P, f32),
@@ -120,12 +130,14 @@ def empty_map(
         ln_valid=jnp.zeros(Q, bool),
         ln_ref_kf=jnp.zeros(Q, i32),
         ln_first_kf=jnp.zeros(Q, i32),
+        ln_first_seq=jnp.zeros(Q, i32),
         ln_nobs=jnp.zeros(Q, i32),
         ln_visible=jnp.ones(Q, f32),
         ln_found=jnp.ones(Q, f32),
         n_kf=jnp.zeros((), i32),
         n_pt=jnp.zeros((), i32),
         n_ln=jnp.zeros((), i32),
+        next_kf_seq=jnp.zeros((), i32),
     )
 
 
