@@ -40,17 +40,19 @@ BAND_W = C.LBD_BAND_WIDTH  # 7
 N_BITS = 256
 _PAIR_SEED = 0x1BD
 
-# fast-path sampling grid: the [L*S*63] nearest gather is STILL the single
-# biggest op in the frame program after the S=24->16 cut (920 us/frame at
-# ~7 ns per gathered element — XLA lowers small random gathers to a
-# latency-bound scalar loop whatever the element count). Band statistics
-# are averages, so subsample the SAME physical 63 px support region:
-# 12 longitudinal x 32 stride-2 perpendicular taps = 49k elements (2.6x
-# fewer, ~350 us). Per-band means/stds come from a static [32, BANDS]
-# assignment matmul instead of the uniform reshape. The exact path keeps
-# the full 16 x 63 grid — it is the NumPy-oracle contract.
+# fast-path sampling grid: the [L*S*offs] nearest gather is STILL the single
+# biggest op in the frame program (round-4 device trace: 351 us/frame at the
+# 12 x 32 stride-2 grid — XLA lowers small random gathers to a latency-bound
+# scalar loop, cost linear in element count). Band statistics are averages,
+# so subsample the SAME physical 63 px support region: 12 longitudinal x 16
+# stride-4 perpendicular taps = 24.5k elements (half of stride-2, ~175 us).
+# Per-band means/stds come from a static [16, BANDS] assignment matmul
+# instead of the uniform reshape. Descriptor deviation vs the exact path is
+# gated by tests/test_lines.py (mean < 24 bits, cross-frame stability); the
+# exact path keeps the full 16 x 63 bilinear grid — the NumPy-oracle
+# contract.
 _FAST_S = 12
-_FAST_OFFS = np.arange(-31.0, 32.0, 2.0).astype(np.float32)  # 32 taps
+_FAST_OFFS = np.arange(-30.0, 31.0, 4.0).astype(np.float32)  # 16 taps
 
 
 @functools.lru_cache(maxsize=1)
@@ -121,7 +123,7 @@ def lbd_vector(gx, gy, sp, ep, valid, exact: bool = False):
     if exact:
         off = jnp.arange(BANDS * BAND_W, dtype=jnp.float32) - half  # [B*W]
     else:
-        off = jnp.asarray(_FAST_OFFS)  # [32] stride-2, same 63 px support
+        off = jnp.asarray(_FAST_OFFS)  # [16] stride-4, same 63 px support
     base = sp[:, None, :] + (ep - sp)[:, None, :] * t[None, :, None]  # [L,S,2]
     pts = base[:, :, None, :] + n[:, None, None, :] * off[None, None, :, None]
     x, y = pts[..., 0], pts[..., 1]  # [L, S, n_off]

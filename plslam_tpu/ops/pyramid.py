@@ -28,7 +28,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from plslam_tpu.utils.precision import mm
+def _mm_img(a, b):
+    """Image-plane matmul at HIGH precision (3-pass bf16x3 ≈ f32: ~1e-6
+    relative error, <0.001 intensity units on 0-255 images — far below the
+    FAST threshold of 7 and BRIEF's compare margins). The round-3 HIGHEST
+    (6-pass) pinning measured 195+ us/frame across the pyramid/blur matmuls;
+    HIGH halves that with no observable effect (geometry/solvers keep
+    utils.precision.mm at HIGHEST — image resampling is not rotation
+    algebra)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGH)
+
+
+mm = _mm_img
 
 
 def level_shapes(height: int, width: int, n_levels: int, scale_factor: float):
