@@ -81,6 +81,17 @@ LOOP_MIN_SCORE_FALLBACK = 0.05  # detect() min-score when the query KF has no
 # 3-consecutive-KF consistency, not by this floor.
 LOOP_SIM3_MIN_INLIERS = 20
 LOOP_TOTAL_MIN_MATCHES = 40
+LOOP_TEMPORAL_GATE_FRAMES = 30  # candidates must be > ~1 s (one KF_MAX_FRAMES
+# window) older than the query — DetectLoop excludes covisible/adjacent KFs
+# (src/LoopClosing.cc ~80 skips mLastLoopKFid-adjacent + covisible neighbours)
+LOOP_MAX_CANDIDATES = 5  # enough-consistent candidates tried per detection,
+# best BoW score first (mvpEnoughConsistentCandidates is unbounded in the
+# reference but ComputeSim3 in practice sees <5; bounded here for the
+# host-side loop)
+LOOP_MAX_GROUPS = 16  # consistency groups carried across keyframes in the
+# device-resident detector (mvConsistentGroups is unbounded in the reference;
+# survivors of the accumulated-score gate are <5 in practice — 16 is
+# headroom, top-scoring groups kept if ever exceeded)
 
 # --- optimizer iteration schedules (src/Optimizer.cc) ---
 POSE_OPT_ROUNDS = 4  # PoseOptimization: 4 rounds x 10 LM iters (~250)

@@ -24,14 +24,24 @@ def _flatten(prefix: str, tree) -> dict:
     return out
 
 
-def save_state(path: str | Path, state) -> None:
-    """TrackState (or any NamedTuple pytree of arrays) -> npz."""
-    np.savez_compressed(path, **_flatten("", state))
+def save_state(path: str | Path, state, extra: dict | None = None) -> None:
+    """TrackState (or any NamedTuple pytree of arrays) -> npz.
+
+    extra: host-side arrays stored alongside the pytree under an `extra.`
+    prefix (keyframe timestamps, BoW database rows — state the reference
+    keeps in KeyFrame members, SURVEY.md §4.5 save-path completeness)."""
+    flat = _flatten("", state)
+    for k, v in (extra or {}).items():
+        flat[f"extra.{k}"] = np.asarray(v)
+    np.savez_compressed(path, **flat)
 
 
-def load_state(path: str | Path, template):
+def load_state(path: str | Path, template, want_extra: bool = False):
     """npz -> pytree with the structure of `template` (a live TrackState:
-    provides both the tree structure and the target dtypes)."""
+    provides both the tree structure and the target dtypes).
+
+    want_extra=True -> (pytree, extras dict) where extras holds every
+    `extra.`-prefixed array in the file (empty for older snapshots)."""
     import jax.numpy as jnp
 
     data = np.load(path)
@@ -46,4 +56,10 @@ def load_state(path: str | Path, template):
             return jnp.asarray(node)  # live template's value for new fields
         return jnp.asarray(data[key])
 
-    return rebuild("", template)
+    tree = rebuild("", template)
+    if not want_extra:
+        return tree
+    extras = {
+        k[len("extra."):]: data[k] for k in data.files if k.startswith("extra.")
+    }
+    return tree, extras

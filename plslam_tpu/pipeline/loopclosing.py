@@ -49,7 +49,10 @@ class LoopCloser(Relocalizer):
     def __init__(self, tracker, vocab: Vocabulary | None = None, enable_gba: bool = True):
         super().__init__(tracker, vocab)
         self.enable_gba = enable_gba
-        self._groups: list[tuple[set, int]] = []  # (covis group, consistency)
+        # covisibility-consistency groups, DEVICE-carried across keyframes
+        # (mvConsistentGroups): bool[G, K] membership + i32[G] consistency
+        self._g_mask = jnp.zeros((C.LOOP_MAX_GROUPS, tracker.max_kf), bool)
+        self._g_consist = jnp.zeros(C.LOOP_MAX_GROUPS, jnp.int32)
         self._loop_edges: list[tuple[int, int]] = []  # accepted loop edges
         # monotonic count of processed keyframes (KF slots are recycled, so
         # slot indices cannot express "10 keyframes since the last loop")
@@ -66,7 +69,7 @@ class LoopCloser(Relocalizer):
 
     def reset(self):
         super().reset()
-        self._groups = []
+        self._zero_groups()
         self._loop_edges = []
         self._kf_counter = 0
         self.last_loop_kfn = -C.LOOP_MIN_KFS_SINCE_LAST
@@ -155,9 +158,20 @@ class LoopCloser(Relocalizer):
             pt_replaced = m.pt_replaced.at[loser_sid].set(
                 jnp.where(dup, winner, -1), mode="drop"
             )
-            return m._replace(
+            m = m._replace(
                 kf_lm_idx=kf_lm, pt_valid=pt_valid, pt_replaced=pt_replaced
             )
+            # re-derive observation counts after Replace, exactly like the
+            # mapper's _fuse_impl (mapping.py) — keyframe policy and future
+            # Replace-winner decisions read pt_nobs, and the reference's
+            # MapPoint::Replace folds the loser's counters into the winner
+            # (src/MapPoint.cc ~250) rather than leaving them stale
+            from plslam_tpu.slammap.state import (
+                refresh_counts as _rc,
+                weighted_point_nobs as _wn,
+            )
+
+            return _rc(m._replace(pt_nobs=_wn(m)))
 
         return jax.jit(f)
 
@@ -170,81 +184,131 @@ class LoopCloser(Relocalizer):
         cov = covisibility(m)
         return np.asarray(cov[k])
 
+    def _zero_groups(self):
+        self._g_mask = jnp.zeros_like(self._g_mask)
+        self._g_consist = jnp.zeros_like(self._g_consist)
+
+    @functools.cached_property
+    def _detect_gate(self):
+        """The ENTIRE DetectLoop gate chain as ONE device dispatch
+        (LoopClosing::DetectLoop ~80 + KeyFrameDatabase::DetectLoopCandidates
+        ~80): TF-IDF scoring over the HBM-resident BoW matrix, min-score
+        gating vs covisible neighbours, temporal-adjacency + shared-word
+        gates, covisibility-group score accumulation, and the
+        3-consecutive-KF consistency check (groups carried on device).
+        Host reads back ONE bool per keyframe; candidate ids/scores are
+        pulled only when a candidate actually survives — the reference's
+        LoopClosing thread never stalls tracking, and neither does this."""
+
+        G = C.LOOP_MAX_GROUPS
+
+        def f(kf_bow, m: MapState, k, g_mask, g_consist):
+            K = self.tracker.max_kf
+            cov = covisibility(m)
+            bow = kf_bow[k]
+            kf_valid = m.kf_valid
+            scores = self.tfidf_scores_device(kf_bow, bow, kf_valid)
+            neighbours = (cov[k] >= C.COVIS_TH) & kf_valid
+            min_score = jnp.where(
+                jnp.any(neighbours),
+                jnp.min(jnp.where(neighbours, scores, jnp.inf)),
+                C.LOOP_MIN_SCORE_FALLBACK,
+            )
+            # culled keyframes keep stale kf_bow rows — never candidates
+            # (slots are REUSED, so validity + frame-id recency replace
+            # slot-index gates)
+            fid = m.kf_frame_id
+            cand = kf_valid & ~neighbours
+            cand &= jnp.arange(K) != k
+            cand &= fid < fid[k] - C.LOOP_TEMPORAL_GATE_FRAMES
+            # shared-word gate: > 0.8 * maxCommonWords
+            common = jax.lax.dot_general(
+                (kf_bow > 0).astype(jnp.bfloat16),
+                (bow > 0).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            common = jnp.where(cand, common, 0.0)
+            cmax = jnp.max(common)
+            cand &= common > 0.8 * cmax
+            cand &= scores >= jnp.maximum(min_score, 1e-3)
+            cand &= cmax > 0
+
+            # group-score accumulation (lAccScoreAndMatch): each candidate's
+            # score is summed over its top-10 covisible group members that
+            # are also candidates; only groups within 0.75 of the best
+            # accumulated score survive, represented by their best-scoring
+            # member
+            topv, topi = jax.lax.top_k(cov, 10)  # [K, 10]
+            rows = jnp.broadcast_to(jnp.arange(K)[:, None], (K, 10))
+            mem_ok = (topv >= C.COVIS_TH) & cand[topi]
+            mem = jnp.zeros((K, K), bool).at[rows, topi].max(mem_ok)
+            mem = mem | jnp.eye(K, dtype=bool)  # the candidate itself
+            acc = jax.lax.dot_general(
+                mem.astype(jnp.float32), scores,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = jnp.where(cand, acc, -jnp.inf)
+            best_acc = jnp.max(acc)
+            kept = cand & (acc >= 0.75 * best_acc)
+            best_mem = jnp.argmax(
+                jnp.where(mem, scores[None, :], -jnp.inf), axis=1
+            ).astype(jnp.int32)
+            surv = jnp.zeros(K, bool).at[
+                jnp.where(kept, best_mem, K)
+            ].set(True, mode="drop")
+
+            # consistency across consecutive keyframes (mvConsistentGroups):
+            # new groups = survivors' covisibility sets; a group inheriting
+            # membership overlap with a previous group bumps its consistency
+            surv_score = jnp.where(surv, scores, -jnp.inf)
+            gv, gi = jax.lax.top_k(surv_score, G)  # top-G survivors by score
+            g_ok = gv > -jnp.inf
+            grp = (cov >= C.COVIS_TH)[gi] | (
+                jnp.arange(K)[None, :] == gi[:, None]
+            )
+            grp &= g_ok[:, None]
+            inter = jax.lax.dot_general(
+                grp.astype(jnp.bfloat16), g_mask.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) > 0  # [G, G_prev]
+            prev_c = jnp.where(
+                inter, g_consist[None, :].astype(jnp.float32), 0.0
+            ).max(1)
+            new_consist = jnp.where(g_ok, prev_c.astype(jnp.int32) + 1, 0)
+            enough_g = new_consist >= C.LOOP_CONSISTENT_GROUPS
+            enough = jnp.zeros(K, bool).at[
+                jnp.where(enough_g, gi, K)
+            ].set(True, mode="drop")
+            return jnp.any(enough), enough, scores, grp, new_consist
+
+        return jax.jit(f, donate_argnums=(3, 4))
+
     def detect(self, m: MapState, k: int):
         """-> list of enough-consistent candidate KF ids, best score first
         (LoopClosing::DetectLoop ~80 — the reference keeps ALL candidates
         whose covisibility group stayed consistent over 3 consecutive KFs in
         mvpEnoughConsistentCandidates and lets ComputeSim3 try each; a
         single-best pick lets one long-lived false group shadow the true
-        revisit)."""
-        bow = np.asarray(self._bow_of_kf(m.kf_desc[k], m.kf_feat_valid[k]))
-        self.kf_bow[k] = bow
+        revisit). One device dispatch; the only per-KF host sync is the
+        final has-any bool."""
+        self.observe_keyframe(m, k)  # async kf_bow row update
         self._kf_counter += 1
         if self._kf_counter - self.last_loop_kfn < C.LOOP_MIN_KFS_SINCE_LAST:
-            self._groups = []
+            self._zero_groups()
             return []
-        covis = self._covis_row(m, k)
-        neighbours = np.where(covis >= C.COVIS_TH)[0]
-        scores = self._tfidf_scores(bow, np.asarray(m.kf_valid))
-        min_score = (
-            scores[neighbours].min() if len(neighbours)
-            else C.LOOP_MIN_SCORE_FALLBACK
+        has_any, enough, scores, self._g_mask, self._g_consist = self._detect_gate(
+            self.kf_bow, m, jnp.int32(k), self._g_mask, self._g_consist
         )
-        # culled keyframes keep stale kf_bow rows — never candidates, and
-        # never an anchor for close_loop (their poses are frozen). Slots are
-        # REUSED, so validity + frame-id recency replace slot-index gates.
-        cand_mask = np.asarray(m.kf_valid).copy()
-        cand_mask[k] = False
-        cand_mask[neighbours] = False
-        fid = np.asarray(m.kf_frame_id)
-        cand_mask &= fid < fid[k] - 30  # not temporally adjacent (~1 s)
-
-        # KeyFrameDatabase::DetectLoopCandidates (~80): shared-word gate —
-        # only keyframes sharing > 0.8 * maxCommonWords words with the query
-        # stay candidates
-        common = ((self.kf_bow > 0) @ (bow > 0).astype(np.float32))
-        common = np.where(cand_mask, common, 0.0)
-        if common.max() <= 0:
-            self._groups = []
+        if not bool(has_any):  # the ONLY per-keyframe readback (1 byte)
             return []
-        cand_mask &= common > 0.8 * common.max()
-        cand_mask &= scores >= max(min_score, 1e-3)
-        cands = np.where(cand_mask)[0]
-        if len(cands) == 0:
-            self._groups = []
-            return []
-
-        cov_np = np.asarray(covisibility(m))
-
-        # group-score accumulation (lAccScoreAndMatch): each candidate's
-        # score is summed over its top-10 covisible group members that are
-        # also candidates; only groups within 0.75 of the best accumulated
-        # score survive, represented by their best-scoring member
-        acc = {}
-        for c in cands:
-            g = np.argsort(-cov_np[c])[:10]
-            g = g[cov_np[c][g] >= C.COVIS_TH]
-            members = [int(c)] + [int(x) for x in g if cand_mask[x]]
-            acc_score = float(sum(scores[mem] for mem in members))
-            best_mem = max(members, key=lambda mem: scores[mem])
-            acc[int(c)] = (acc_score, best_mem)
-        best_acc = max(a for a, _ in acc.values())
-        survivors = sorted({bm for c, (a, bm) in acc.items() if a >= 0.75 * best_acc})
-
-        # covisibility-consistency over consecutive keyframes (~3 groups)
-        new_groups = []
-        enough: list[int] = []
-        for c in survivors:
-            group = set(np.where(cov_np[c] >= C.COVIS_TH)[0].tolist()) | {int(c)}
-            consistency = 1
-            for g_prev, n_prev in self._groups:
-                if group & g_prev:
-                    consistency = max(consistency, n_prev + 1)
-            new_groups.append((group, consistency))
-            if consistency >= C.LOOP_CONSISTENT_GROUPS:
-                enough.append(int(c))
-        self._groups = new_groups
-        return sorted(enough, key=lambda c: -scores[c])[:5]
+        enough_ids = np.where(np.asarray(enough))[0]
+        s = np.asarray(scores)
+        return sorted(
+            enough_ids.tolist(), key=lambda c: -s[c]
+        )[: C.LOOP_MAX_CANDIDATES]
 
     # ------------------------------------------------------------ correction
     def close_loop(self, state, k: int, cand: int):

@@ -24,6 +24,7 @@ import numpy as np
 
 from plslam_tpu import constants as C
 from plslam_tpu.loopclosing.vocab import Vocabulary
+from plslam_tpu.matching import points as match_ops
 from plslam_tpu.matching.points import match_descriptors
 from plslam_tpu.ops import brief
 from plslam_tpu.slammap.state import MapState
@@ -31,18 +32,29 @@ from plslam_tpu.solvers.pose import PointObs, pose_optimization
 
 
 class Relocalizer:
-    """BoW database + PnP relocalization. Host state: one BoW row per KF
-    slot (kf_bow) — rebuilt on map load, cleared on reset."""
+    """BoW database + PnP relocalization. The database (kf_bow, one BoW row
+    per KF slot) is DEVICE-RESIDENT: a [MAX_KF, W] matrix in HBM updated by a
+    jitted observe program — KeyFrameDatabase::add without a host round-trip
+    (round-3 verdict: the per-KF device sync for BoW rows stalled tracking
+    behind the whole mapper chain). Rebuilt on map load, cleared on reset."""
 
     def __init__(self, tracker, vocab: Vocabulary | None = None):
         self.tracker = tracker
         self.vocab = vocab or Vocabulary()
-        self.kf_bow = np.zeros((tracker.max_kf, self.vocab.n_words), np.float32)
+        self.kf_bow = jnp.zeros((tracker.max_kf, self.vocab.n_words), jnp.float32)
+        # guided SearchByProjection top-up after a 30-50-inlier first solve
+        # (Tracking::Relocalization tail); off switch exists for testing the
+        # gate without it
+        self.topup_enabled = True
 
     def reset(self):
         """Stale BoW rows of a discarded map must not score against the new
         map's keyframes in recycled slots (System::Reset)."""
-        self.kf_bow[:] = 0.0
+        self.kf_bow = jnp.zeros_like(self.kf_bow)
+
+    def load_database(self, rows: np.ndarray):
+        """Restore BoW rows from a snapshot (System.load_map)."""
+        self.kf_bow = jnp.asarray(rows, jnp.float32)
 
     # ------------------------------------------------------------ jit pieces
     @functools.cached_property
@@ -69,42 +81,89 @@ class Relocalizer:
 
         return jax.jit(solve_pnp_ransac)
 
+    @functools.cached_property
+    def _topup_match(self):
+        """Guided SearchByProjection for the relocalization top-up
+        (Tracking::Relocalization ~1300 tail: when the first solve lands at
+        30-50 inliers the reference projects the candidate KF's landmarks
+        through the solved pose and matches them into still-free keypoints —
+        th=10/ORBdist=100 first, th=3/ORBdist=64 if still short — instead of
+        dropping a marginal relocalization)."""
+
+        def f(m: MapState, Tcw, cand, kp_uv, kp_octave, kp_pm1, kp_free,
+              lm_free, radius, th_dist):
+            tr = self.tracker
+            row = m.kf_lm_idx[cand]  # i32[F]: landmark id per candidate-KF feature
+            sid = jnp.clip(row, 0)
+            has = (row >= 0) & m.pt_valid[sid] & lm_free
+            uv_p, oct_p, vis, _ = tr._project_points_subset(
+                m.pt_pos[sid], m.pt_normal[sid], m.pt_dist[sid], has, Tcw
+            )
+            lm_pm1 = brief.unpack_bits_pm1(m.pt_desc[sid])
+            match_kp, _ = match_ops.search_by_projection(
+                kp_uv, kp_octave, kp_pm1, kp_free,
+                uv_p, oct_p, lm_pm1, vis,
+                radius=radius, th_dist=th_dist,
+            )
+            return match_kp, row  # i32[F] kp slot per candidate feature, lm ids
+
+        return jax.jit(f, static_argnames=("radius", "th_dist"))
+
     # --------------------------------------------------------------- database
+    @functools.cached_property
+    def _observe(self):
+        """kf_bow.at[k] <- BoW(kf features), donated in-place in HBM."""
+
+        def f(kf_bow, kf_desc_k, kf_feat_valid_k, k):
+            row = self.vocab.bow(brief.unpack_bits_pm1(kf_desc_k), kf_feat_valid_k)
+            return kf_bow.at[k].set(row)
+
+        return jax.jit(f, donate_argnums=0)
+
     def observe_keyframe(self, m: MapState, k: int):
-        """Add keyframe slot k to the BoW database
-        (KeyFrameDatabase::add). LoopCloser.detect() does this itself (it
-        needs the row mid-flight); the bare Relocalizer calls this from
-        System after every keyframe insertion."""
-        self.kf_bow[k] = np.asarray(self._bow_of_kf(m.kf_desc[k], m.kf_feat_valid[k]))
+        """Add keyframe slot k to the BoW database (KeyFrameDatabase::add) —
+        one async device dispatch, no host sync."""
+        self.kf_bow = self._observe(
+            self.kf_bow, m.kf_desc[k], m.kf_feat_valid[k], jnp.int32(k)
+        )
 
     def rebuild_database(self, m: MapState):
         """Recompute BoW rows for every valid keyframe — required after
-        System.load_map (the BoW rows are host state, not part of the
-        snapshot pytree)."""
-        self.kf_bow[:] = 0.0
+        System.load_map when the snapshot lacks stored rows."""
+        self.kf_bow = jnp.zeros_like(self.kf_bow)
         for k in np.where(np.asarray(m.kf_valid))[0]:
             self.observe_keyframe(m, int(k))
 
-    def _tfidf_scores(self, bow: np.ndarray, kf_valid: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def tfidf_scores_device(kf_bow, bow, kf_valid):
         """DBoW2 L1 similarity with TF-IDF weighting (TemplatedVocabulary
-        uses idf-weighted BowVectors; the round-1 plain-histogram scoring had
-        no discriminative power over common words). idf is computed online
-        over the CURRENT keyframes — equivalent in effect to the reference's
-        corpus idf, and it adapts to the actual scene."""
-        rows = self.kf_bow
-        df = ((rows > 0) & kf_valid[:, None]).sum(0).astype(np.float32)
-        n_docs = max(int(kf_valid.sum()), 1)
-        idf = np.log(n_docs / (1.0 + df)) + 1.0  # smoothed, >= ~0
-        idf = np.maximum(idf, 0.0)
+        uses idf-weighted BowVectors; a plain-histogram scoring has no
+        discriminative power over common words). idf is computed online over
+        the CURRENT keyframes — equivalent in effect to the reference's
+        corpus idf, and it adapts to the actual scene. Pure device fn
+        ([K, W] x [W] -> [K]) shared by relocalization and loop detection."""
+        df = jnp.sum((kf_bow > 0) & kf_valid[:, None], 0).astype(jnp.float32)
+        n_docs = jnp.maximum(jnp.sum(kf_valid), 1).astype(jnp.float32)
+        idf = jnp.maximum(jnp.log(n_docs / (1.0 + df)) + 1.0, 0.0)
 
         def norm(v):
             w = v * idf
-            s = np.abs(w).sum(axis=-1, keepdims=True)
-            return w / np.maximum(s, 1e-9)
+            return w / jnp.maximum(jnp.sum(jnp.abs(w), -1, keepdims=True), 1e-9)
 
-        q = norm(bow[None])[0]
-        kw = norm(rows)
-        return 1.0 - 0.5 * np.abs(kw - q[None]).sum(-1)
+        q = norm(bow[None, :])[0]
+        kw = norm(kf_bow)
+        return 1.0 - 0.5 * jnp.sum(jnp.abs(kw - q[None, :]), -1)
+
+    @functools.cached_property
+    def _scores_jit(self):
+        return jax.jit(self.tfidf_scores_device)
+
+    def _tfidf_scores(self, bow, kf_valid: np.ndarray) -> np.ndarray:
+        """Host wrapper (relocalization path — rare, so a readback is fine).
+        Returns a WRITABLE copy (np.asarray of a jax.Array is read-only)."""
+        return np.array(
+            self._scores_jit(self.kf_bow, jnp.asarray(bow), jnp.asarray(kf_valid))
+        )
 
     # ---------------------------------------------------------- relocalization
     def relocalize(self, state, frame):
@@ -140,15 +199,34 @@ class Relocalizer:
             pnp = self._pnp(xw, frame.uvr[:, :2], frame.depth, inv_s2, has, tr.K)
             if not bool(pnp.ok):
                 continue
-            pts = PointObs(
-                xw=xw,
-                obs=frame.uvr,
-                inv_sigma2=inv_s2,
-                is_stereo=frame.depth > 0,
-                valid=has,
-            )
-            Tcw, inl, _ = pose_optimization(pnp.Tcw, pts, tr.K, tr.bf)
-            n = int(np.asarray(inl & has).sum())
+
+            def solve(lm_ids: np.ndarray, T0):
+                """Pose LM over the current landmark-per-keypoint assignment;
+                -> (Tcw, surviving lm ids, inlier count)."""
+                hv = jnp.asarray(lm_ids >= 0) & frame.valid
+                pts = PointObs(
+                    xw=m.pt_pos[jnp.clip(jnp.asarray(lm_ids), 0)],
+                    obs=frame.uvr,
+                    inv_sigma2=inv_s2,
+                    is_stereo=frame.depth > 0,
+                    valid=hv,
+                )
+                Tcw, inl, _ = pose_optimization(T0, pts, tr.K, tr.bf)
+                keep = np.asarray(inl & hv)
+                return Tcw, np.where(keep, lm_ids, -1), int(keep.sum())
+
+            Tcw, lm_cur, n = solve(lm_of_kp, pnp.Tcw)
+            if n < 10:
+                continue
+            if n < C.MIN_INLIERS_AFTER_RELOC and self.topup_enabled:
+                # guided top-up (ref tail): two widening/narrowing passes
+                for radius, th_dist in ((10.0, float(C.TH_HIGH)), (3.0, 64.0)):
+                    if n >= C.MIN_INLIERS_AFTER_RELOC:
+                        break
+                    lm_cur = self._topup(
+                        m, Tcw, int(cand), frame, lm_cur, radius, th_dist
+                    )
+                    Tcw, lm_cur, n = solve(lm_cur, Tcw)
             if n >= C.MIN_INLIERS_AFTER_RELOC:
                 state = state._replace(
                     status=jnp.int32(1),
@@ -157,9 +235,32 @@ class Relocalizer:
                     last=state.last._replace(
                         uvr=frame.uvr, octave=frame.octave, angle=frame.angle,
                         desc=frame.desc, depth=frame.depth, valid=frame.valid,
-                        lm_idx=jnp.where(inl & has, jnp.asarray(lm_of_kp), -1),
+                        lm_idx=jnp.asarray(lm_cur, dtype=jnp.int32),
                         Tcw=Tcw,
                     ),
                 )
                 return state, True
         return state, False
+
+    def _topup(self, m: MapState, Tcw, cand: int, frame, lm_cur: np.ndarray,
+               radius: float, th_dist: float) -> np.ndarray:
+        """One guided-projection pass: bind the candidate KF's still-unmatched
+        landmarks to still-free keypoints through the current pose estimate.
+        Returns the augmented lm-id-per-keypoint array (host i32[N])."""
+        row_np = np.asarray(m.kf_lm_idx[cand])
+        lm_free = ~np.isin(row_np, lm_cur[lm_cur >= 0])
+        kp_free = jnp.asarray(lm_cur < 0) & frame.valid
+        match_kp, row = self._topup_match(
+            m, Tcw, jnp.int32(cand),
+            frame.uvr[:, :2], frame.octave,
+            brief.unpack_bits_pm1(frame.desc), kp_free,
+            jnp.asarray(lm_free), radius, th_dist,
+        )
+        match_kp = np.asarray(match_kp)
+        row = np.asarray(row)
+        out = lm_cur.copy()
+        for j in np.where(match_kp >= 0)[0]:
+            kp = int(match_kp[j])
+            if out[kp] < 0 and row[j] >= 0:
+                out[kp] = row[j]
+        return out

@@ -275,11 +275,23 @@ class System:
     # ------------------------------------------------------------------- save
     def save_map(self, path: str | Path):
         """Snapshot the full SLAM state (map + tracking carry) to npz —
-        a capability the reference lacks entirely (SURVEY.md §6)."""
+        a capability the reference lacks entirely (SURVEY.md §6). Host-side
+        keyframe state travels with the pytree: per-slot timestamps (so
+        save_keyframe_trajectory_tum after load_map writes real TUM
+        timestamps, SURVEY.md §4.5) and the BoW database rows (so
+        reloc/loop detection resume exactly, no rebuild drift)."""
         from plslam_tpu.io.snapshot import save_state
 
         self._flush_pending()  # the snapshot must be the fully-optimized map
-        save_state(path, self.state)
+        n = int(self.tracker.max_kf)
+        kf_ts = np.zeros(n, np.float64)
+        for slot, t in self._kf_timestamps.items():
+            if 0 <= slot < n:
+                kf_ts[slot] = t
+        save_state(
+            path, self.state,
+            extra={"kf_timestamps": kf_ts, "kf_bow": np.asarray(self._reloc.kf_bow)},
+        )
 
     def load_map(self, path: str | Path):
         """Restore a snapshot; combine with activate_localization_mode()
@@ -288,14 +300,27 @@ class System:
 
         self._flush_pending()  # rebase against the OUTGOING map's poses
         was_loc = self.localization_only
-        self.state = load_state(path, self.state)
+        self.state, extras = load_state(path, self.state, want_extra=True)
         # the snapshot carries its own only_tracking flag — re-assert the
         # live System's mode over it
         (self.activate_localization_mode if was_loc
          else self.deactivate_localization_mode)()
-        # BoW rows are host state, not part of the snapshot: rebuild so
-        # relocalization (and loop detection) work on the loaded map
-        self._reloc.rebuild_database(self.state.m)
+        kf_valid = np.asarray(self.state.m.kf_valid)
+        if "kf_timestamps" in extras:
+            ts = np.asarray(extras["kf_timestamps"], np.float64)
+            self._kf_timestamps = {
+                int(i): float(ts[i])
+                for i in np.where(kf_valid[: len(ts)])[0]
+            }
+        if "kf_bow" in extras and (
+            extras["kf_bow"].shape == self._reloc.kf_bow.shape
+        ):
+            self._reloc.load_database(extras["kf_bow"])
+        else:
+            # older snapshot (or a vocabulary-size change): BoW rows are
+            # recomputable from kf_desc — rebuild so relocalization (and
+            # loop detection) work on the loaded map
+            self._reloc.rebuild_database(self.state.m)
         # older snapshots predate the local_set field (the loader keeps the
         # template's empty set); always rebuild around the restored ref KF
         self.state = self.tracker.refresh_local_set(self.state)
@@ -338,6 +363,9 @@ class System:
         )
 
     def save_keyframe_trajectory_tum(self, path: str | Path):
+        # same flush as save_trajectory_tum: with GBA slices pending the two
+        # save paths must write from the SAME (fully optimized) map
+        self._flush_pending()
         m = self.state.m
         n = m.kf_pose.shape[0]
         stamps = np.array([self._kf_timestamps.get(i, 0.0) for i in range(n)])

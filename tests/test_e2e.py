@@ -128,6 +128,56 @@ class TestDegenerate:
         assert slam.get_tracking_state() == "OK"
 
 
+class TestRelocTopup:
+    def test_guided_topup_rescues_marginal_reloc(self, small_system_run, small_seq):
+        """Tracking::Relocalization (~1300) tail parity: when the first
+        solve lands at 10-49 inliers the reference runs a guided
+        SearchByProjection top-up (th=10/ORBdist=100 then th=3/64) and
+        re-optimizes instead of rejecting. Build a marginal frame by
+        flipping 60 descriptor bits on most keypoints: those keypoints fail
+        the strict BoW matcher (Hamming 60 > TH_LOW=50, so the first solve
+        is short of 50 inliers) but pass the top-up's ORBdist=100 projection
+        window — so relocalization must FAIL with the top-up disabled and
+        SUCCEED with it enabled."""
+        slam, _ = small_system_run
+        g, d, t = small_seq.frame(12)
+        ln = slam.builder.detect_lines(np.asarray(g, np.float32))
+        frame = slam.builder(
+            jnp.asarray(g, jnp.float32), jnp.asarray(d, jnp.float32), *ln
+        )
+        rng = np.random.default_rng(7)
+        desc = np.asarray(frame.desc).copy()  # u8[N, 32]
+        n = desc.shape[0]
+        # the clean subset must be drawn from VALID keypoints (desc rows are
+        # a fixed-capacity [max_feat] buffer, most slots masked): ~70 clean
+        # kps -> ~20 BoW matches with landmarks, enough to clear the
+        # 15-match candidate gate and solve a pose, yet well short of the
+        # 50-inlier accept — exactly the reference's 30-50 top-up window
+        valid_idx = np.where(np.asarray(frame.valid))[0]
+        keep = set(rng.permutation(valid_idx)[:70].tolist())
+        for i in range(n):
+            if i in keep:
+                continue
+            bits = rng.choice(256, size=60, replace=False)
+            mask = np.zeros(32, np.uint8)
+            for b in bits:
+                mask[b // 8] |= np.uint8(1 << (b % 8))
+            desc[i] ^= mask
+        frame = frame._replace(desc=jnp.asarray(desc))
+        lost = slam.state._replace(status=jnp.int32(2))
+
+        reloc = slam._reloc
+        try:
+            reloc.topup_enabled = False
+            _, ok_plain = reloc.relocalize(lost, frame)
+            reloc.topup_enabled = True
+            _, ok_topup = reloc.relocalize(lost, frame)
+        finally:
+            reloc.topup_enabled = True
+        assert not ok_plain, "gate accepted without top-up; fixture too easy"
+        assert ok_topup, "guided top-up failed to rescue marginal reloc"
+
+
 class TestEvaluator:
     def test_ate_zero_on_identical(self, small_seq):
         gt = small_seq.gt_trajectory()
@@ -158,6 +208,25 @@ class TestSnapshot:
         after = jax.tree.map(np.asarray, slam.state)
         for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_array_equal(a, b)
+
+    def test_snapshot_keyframe_timestamps(self, small_system_run, small_seq, tmp_path):
+        """load_map into a FRESH System must restore keyframe timestamps:
+        save_keyframe_trajectory_tum after the round trip writes the same
+        real TUM timestamps as the original session (SURVEY.md §4.5 save-path
+        bit-compatibility; a fresh System without the snapshot extras used to
+        emit t=0.0 lines). The BoW rows must also round-trip exactly."""
+        slam, _ = small_system_run
+        f = tmp_path / "map.npz"
+        orig_kf = tmp_path / "kf_orig.txt"
+        slam.save_keyframe_trajectory_tum(orig_kf)
+        slam.save_map(f)
+        slam2 = System(small_seq.settings, max_pts=4096, max_kf=32)
+        slam2.load_map(f)
+        loaded_kf = tmp_path / "kf_loaded.txt"
+        slam2.save_keyframe_trajectory_tum(loaded_kf)
+        assert loaded_kf.read_text() == orig_kf.read_text()
+        assert not orig_kf.read_text().startswith("0.0 ")
+        np.testing.assert_array_equal(slam2._reloc.kf_bow, slam._reloc.kf_bow)
 
     def test_localization_on_loaded_map(self, small_system_run, small_seq, tmp_path):
         """Localization-only replay must track AND leave the loaded map
