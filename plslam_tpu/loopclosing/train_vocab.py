@@ -102,34 +102,96 @@ def train_tree(desc_u8: np.ndarray, k: int = C.VOCAB_K, depth: int = C.VOCAB_L,
     return _pack(np.stack(leaves))
 
 
-def harvest_descriptors(n_seeds: int = 6, frames_per_seed: int = 8,
-                        height: int = 240, width: int = 320) -> np.ndarray:
+def harvest_descriptors(n_seeds: int = 16, frames_per_seed: int = 8,
+                        height: int = 240, width: int = 320,
+                        seed_base: int = 100) -> np.ndarray:
     """Render varied synthetic scenes and extract ORB descriptors — the
     training corpus (the reference trained on Bovisa; any diverse imagery
-    serves, what matters is the descriptor distribution of OUR extractor)."""
+    serves, what matters is the descriptor distribution of OUR extractor).
+
+    Corpus breadth (round-3 verdict: 6 same-renderer seeds was narrow):
+    16 seed-distinct scenes mixing xyz and loop trajectories, every third
+    low-texture, each frame photometrically augmented (gamma 0.6-1.6 +
+    brightness scale cycling deterministically) so word clusters are not
+    keyed to one illumination. seed_base=100 keeps the training family
+    disjoint from every eval fixture's seeds (tests use <50)."""
     import jax.numpy as jnp
 
     from plslam_tpu.features.orb import ORBExtractor
     from plslam_tpu.io.synthetic import SyntheticSequence
 
+    ext = ORBExtractor(height, width, n_features=500)  # one jit, all scenes
+    gammas = (0.6, 1.0, 1.6)
+    gains = (0.7, 1.0, 1.25)
     out = []
-    for seed in range(n_seeds):
+    for si in range(n_seeds):
         seq = SyntheticSequence(
-            n_frames=frames_per_seed, height=height, width=width, seed=seed,
-            low_texture=bool(seed % 3 == 2),
+            n_frames=frames_per_seed, height=height, width=width,
+            seed=seed_base + si,
+            low_texture=bool(si % 3 == 2),
+            trajectory="loop" if si % 2 else "xyz",
         )
-        ext = ORBExtractor(height, width, n_features=500)
         for i in range(frames_per_seed):
             g, _, _ = seq.frame(i)
+            g = np.asarray(g, np.float32)
+            gamma = gammas[(si + i) % len(gammas)]
+            gain = gains[(si * 2 + i) % len(gains)]
+            g = np.clip(255.0 * gain * (g / 255.0) ** gamma, 0, 255)
             fs = ext(jnp.asarray(g))
             v = np.asarray(fs.valid)
             out.append(np.asarray(fs.desc)[v])
     return np.concatenate(out, 0)
 
 
-def main():
+def harvest_descriptors_tum(tum_dir: str | Path, max_frames: int = 120) -> np.ndarray:
+    """Harvest from real TUM RGB-D sequences under tum_dir (each containing
+    rgb.txt) — the retrain hook fired by tests/data/fetch_tum.sh the moment
+    real data exists (SURVEY.md §3.2 DBoW2 row: the reference's ORBvoc was
+    trained on real imagery)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from plslam_tpu.features.orb import ORBExtractor
+
+    tum_dir = Path(tum_dir)
+    seqs = sorted(p.parent for p in tum_dir.glob("*/rgb.txt"))
+    if not seqs:
+        raise FileNotFoundError(f"no TUM sequences (rgb.txt) under {tum_dir}")
+    ext = None
+    out = []
+    for seq in seqs:
+        rels = [
+            ln.split()[1]
+            for ln in (seq / "rgb.txt").read_text().splitlines()
+            if ln.strip() and not ln.startswith("#")
+        ]
+        step = max(1, len(rels) // max_frames)
+        for rel in rels[::step]:
+            img = cv2.imread(str(seq / rel), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            if ext is None:
+                ext = ORBExtractor(img.shape[0], img.shape[1], n_features=500)
+            fs = ext(jnp.asarray(img, jnp.float32))
+            v = np.asarray(fs.valid)
+            out.append(np.asarray(fs.desc)[v])
+    return np.concatenate(out, 0)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--tum", default=None, metavar="DIR",
+                    help="harvest from real TUM sequences under DIR instead "
+                         "of (only) the synthetic renderer")
+    args = ap.parse_args(argv)
+
     print("harvesting descriptors from synthetic scenes ...")
     desc = harvest_descriptors()
+    if args.tum:
+        print(f"harvesting descriptors from TUM data under {args.tum} ...")
+        desc = np.concatenate([desc, harvest_descriptors_tum(args.tum)], 0)
     print(f"training on {len(desc)} descriptors "
           f"(k={C.VOCAB_K}, L={C.VOCAB_L}) ...")
     words = train_tree(desc)

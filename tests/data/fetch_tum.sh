@@ -61,3 +61,9 @@ for t, rel in rgb:
 print(f"wrote {len(lines)} associations -> {seq/'associations.txt'}")
 EOF
 done
+
+# Retrain the vocabulary on the freshly-fetched real imagery (round-3
+# verdict: a real-data retrain hook must exist the moment data does). The
+# synthetic corpus stays in the mix; TUM descriptors broaden it.
+echo "retraining vocabulary on fetched TUM data ..."
+( cd "$DATA_DIR/../.." && python -m plslam_tpu.loopclosing.train_vocab --tum "$DATA_DIR" )
