@@ -24,15 +24,60 @@ import numpy as np
 
 N_FRAMES = 48
 WARMUP_FRAMES = 8
+CHUNK = 4  # frames per dispatch (see the chunked-dispatch note in main)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def bench_system(n_frames: int = 48):
+    """System-path numbers (round-3 verdict: the official bench measured the
+    bare Tracker step; production pays mapper chain + loop detection on KF
+    frames). Runs System.track_rgbd with local mapping AND loop closing ON,
+    returns {median fps, KF-frame p99 ms, non-KF p99 ms} from per-frame
+    wall-clock."""
+    import time
+
+    from plslam_tpu.io.synthetic import SyntheticSequence
+    from plslam_tpu.system import System
+
+    seq = SyntheticSequence(n_frames=n_frames, height=480, width=640, seed=0)
+    slam = System(seq.settings)
+    frames = [seq.frame(i) for i in range(n_frames)]
+    # warmup pass compiles step + mapper chain + loop-detect programs
+    for g, d, t in frames:
+        slam.track_rgbd(g, d, t)
+    slam.reset()
+    ms, was_kf = [], []
+    for g, d, t in frames:
+        t0 = time.perf_counter()
+        out = slam.track_rgbd(g, d, t)
+        ms.append((time.perf_counter() - t0) * 1e3)
+        was_kf.append(slam.last_frame_was_kf)
+    ms = np.asarray(ms)
+    was_kf = np.asarray(was_kf)
+    kf_ms = ms[was_kf] if was_kf.any() else ms
+    nonkf_ms = ms[~was_kf] if (~was_kf).any() else ms
+    out = {
+        "system_fps_median": round(1e3 / float(np.median(ms)), 2),
+        "system_kf_p99_ms": round(float(np.percentile(kf_ms, 99)), 2),
+        "system_nonkf_p99_ms": round(float(np.percentile(nonkf_ms, 99)), 2),
+        "system_n_kf_frames": int(was_kf.sum()),
+    }
+    log(f"system path: {out}")
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: warmup amortizes across runs (the
+    # 80s+56s first-run compile was flagged as a real deployment cost;
+    # second runs hit the cache and warm up in seconds)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/plslam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from plslam_tpu.features.frame import FrameBuilder
     from plslam_tpu.io.synthetic import SyntheticSequence
@@ -64,36 +109,52 @@ def main():
     # 34/43/59 fps across identical runs, likely timing-based autotuning
     # over a flaky transport). Compile TWO independent variants (a baked-in
     # constant makes the HLO hashes differ) and keep the faster one.
-    def make_one(eps):
+    #
+    # CHUNK frames per dispatch (unrolled inside one jitted program, state
+    # donated between them): the per-dispatch host+tunnel overhead (~1 ms —
+    # the round-3 "small-fusion dispatch tail") is paid once per CHUNK
+    # frames instead of per frame. Measured on the TPU: per-frame cost fits
+    # t = h/chunk + d almost exactly (chunk 1/2/4 -> 29.4/17.1/10.6 ms under
+    # heavy host load), so chunking is pure dispatch amortization — the
+    # device program and its results are IDENTICAL to per-frame dispatch
+    # (frames still strictly sequential through the state carry). Production
+    # replay/batch processing runs the same way; the interactive System path
+    # keeps per-frame dispatch for per-frame host decisions.
+    def make_chunk(eps, chunk):
         # donate the state carry: the masked KF/landmark scatters then
         # update HBM in place (kf_desc alone is 8 MB; without donation every
         # touched map array is copied each frame)
         @functools.partial(jax.jit, donate_argnums=0)
-        def one(state, gray, depth):
-            frame = builder._build(gray + eps, depth, *zl)
-            state, out = tracker._step(state, frame)
-            return state, (out.tracked, out.n_inliers)
+        def many(state, gs, ds):
+            outs = []
+            for i in range(chunk):
+                frame = builder._build(gs[i] + eps, ds[i], *zl)
+                state, out = tracker._step(state, frame)
+                outs.append((out.tracked, out.n_inliers))
+            return state, outs
 
-        return one
+        return many
 
-    def run(one, state, grays, depths):
+    def run(many, state, grays, depths):
         outs = []
-        for i in range(len(grays)):
-            state, o = one(state, grays[i], depths[i])
-            outs.append(o)
+        for i in range(0, len(grays), CHUNK):
+            state, os_ = many(
+                state, tuple(grays[i:i + CHUNK]), tuple(depths[i:i + CHUNK])
+            )
+            outs.extend(os_)
         return state, outs
 
     best = None
     for ci, eps in enumerate((0.0, 1e-12)):
-        one = make_one(eps)
+        many = make_chunk(eps, CHUNK)
         t0 = time.perf_counter()
-        final, outs = run(one, tracker.init_state(), grays, depths)
+        final, outs = run(many, tracker.init_state(), grays, depths)
         jax.block_until_ready(final)
-        log(f"compile {ci}: warmup {time.perf_counter() - t0:.1f}s")
+        log(f"compile {ci}: warmup {time.perf_counter() - t0:.1f}s (chunk={CHUNK})")
         dts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            final, outs = run(one, tracker.init_state(), grays, depths)
+            final, outs = run(many, tracker.init_state(), grays, depths)
             jax.block_until_ready(final)
             dts.append(time.perf_counter() - t0)
         dt = min(dts)
@@ -110,16 +171,21 @@ def main():
         f"| mean inliers {float(np.asarray(inl)[np.asarray(tracked)].mean() if n_tracked else 0):.0f}"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip at 640x480 TUM RGB-D (full point+line tracking step, synthetic)",
-                "value": round(fps, 2),
-                "unit": "fps",
-                "vs_baseline": round(fps / 30.0, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "frames/sec/chip at 640x480 TUM RGB-D (full point+line tracking step, synthetic)",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 3),
+    }
+    # System-path artifact (mapper + loop detection on): secondary fields in
+    # the same JSON line; a failure here must not cost the headline metric
+    if "--no-system" not in sys.argv:
+        try:
+            record.update(bench_system())
+        except Exception as e:  # pragma: no cover
+            log(f"system-path bench failed: {e!r}")
+            record["system_error"] = str(e)[:200]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -193,8 +193,10 @@ class TestLineBA:
         # quantity the optimizer controls and must go to ~0. The absolute
         # floor covers the case where "before" is tiny and a single line
         # slides along its null direction (observed 0.06 -> 0.20 m with a
-        # perfectly converged px residual).
-        assert after < max(before * 3.0, 0.35), (before, after)
+        # perfectly converged px residual). Floor 0.25 m: just above the
+        # observed 0.20 m slide, so a regression that drifts lines ~0.3 m in
+        # 3D while still shrinking the px residual is caught (advisor r3).
+        assert after < max(before * 3.0, 0.25), (before, after)
 
         # the quantity BA controls — the point-to-2D-line pixel residual —
         # must collapse (measured 10.6 px -> 0.09 px; assert a 50x
