@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--kf-out", default=None)
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU")
     ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument(
+        "--pipeline", type=int, default=0, metavar="K",
+        help="frames kept in flight before host bookkeeping runs (hides the "
+             "device->host telemetry round trip on tunnel-attached TPUs; "
+             "0 = synchronous)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -65,17 +71,18 @@ def main():
         gt_file = Path(args.sequence) / "groundtruth.txt"
         gt = load_groundtruth(gt_file) if gt_file.exists() else None
 
-    slam = System(settings, use_local_mapping=not args.no_ba)
+    slam = System(
+        settings, use_local_mapping=not args.no_ba,
+        pipeline_depth=args.pipeline,
+    )
     times = []
     kf_frame = []  # did this frame insert a keyframe (mapper chain ran)?
-    n_tracked = 0
     for i in range(seq.n_frames):
         gray, depth, t = seq.frame(i)
         t0 = time.perf_counter()
         Tcw = slam.track_rgbd(gray, depth, t)
         times.append(time.perf_counter() - t0)
         kf_frame.append(slam.last_frame_was_kf)
-        n_tracked += Tcw is not None
         if i % 20 == 0:
             print(
                 f"frame {i:4d}: {slam.get_tracking_state():>6s} "
@@ -83,6 +90,7 @@ def main():
             )
 
     slam.shutdown()
+    n_tracked = sum(slam.tracked_flags)
     slam.save_trajectory_tum(args.out)
     if args.kf_out:
         slam.save_keyframe_trajectory_tum(args.kf_out)

@@ -89,6 +89,31 @@ class StepOut(NamedTuple):
     rel_pose: jnp.ndarray  # f32[4, 4] Tcr (current <- ref KF), for save replay
     n_inliers: jnp.ndarray  # i32[]
     n_matches: jnp.ndarray  # i32[]
+    telemetry: jnp.ndarray  # f32[TEL_FIXED + 32 + max_kf] — see TEL_* below
+
+
+# Telemetry vector layout (StepOut.telemetry). On the tunnel-attached TPU
+# EVERY first device->host read of a fresh array pays a ~25-30 ms transport
+# round trip REGARDLESS of size (measured: 9 separate per-frame scalar reads
+# cost 228 ms/frame; one 2 KB read costs the same as one 4-byte read).
+# Everything the System-facade host loop needs per frame is therefore packed
+# into ONE f32 vector inside the jitted step — one read, one round trip.
+# i32 values are exact in f32 up to 2^24 (slot counts are <= 32768).
+TEL_TRACKED = 0
+TEL_NEW_KF = 1
+TEL_KF_ID = 2
+TEL_REF_KF = 3
+TEL_N_INLIERS = 4
+TEL_N_MATCHES = 5
+TEL_STATUS = 6
+TEL_N_KF = 7
+TEL_N_PT = 8
+TEL_N_LN = 9
+TEL_FIXED = 10
+TEL_REL_POSE = slice(TEL_FIXED, TEL_FIXED + 16)  # rel_pose, row-major
+TEL_TCW = slice(TEL_FIXED + 16, TEL_FIXED + 32)  # frame pose, row-major
+TEL_KF_VALID = TEL_FIXED + 32  # [max_kf] POST-insert / PRE-mapper kf_valid
+# (the culled-anchor rebase needs the pre-mapper snapshot on KF frames)
 
 
 class _BranchOut(NamedTuple):
@@ -915,10 +940,28 @@ class Tracker:
             frame_id=ts.frame_id + 1,
             last=last,
         )
+        n_inl = jnp.where(is_init, n_init, req.n_inliers)
+        n_mat = jnp.where(is_init, n_init, req.n_matches)
+        telemetry = jnp.concatenate([
+            jnp.stack([
+                req.tracked.astype(jnp.float32),
+                did_insert.astype(jnp.float32),
+                k.astype(jnp.float32),
+                ref_kf.astype(jnp.float32),
+                n_inl.astype(jnp.float32),
+                n_mat.astype(jnp.float32),
+                req.status.astype(jnp.float32),
+                m.n_kf.astype(jnp.float32),
+                m.n_pt.astype(jnp.float32),
+                m.n_ln.astype(jnp.float32),
+            ]),
+            rel_pose.reshape(-1),
+            req.Tcw.reshape(-1),
+            m.kf_valid.astype(jnp.float32),
+        ])
         out = StepOut(
             Tcw=req.Tcw, tracked=req.tracked, new_kf=did_insert,
             kf_id=k, ref_kf=ref_kf, rel_pose=rel_pose,
-            n_inliers=jnp.where(is_init, n_init, req.n_inliers),
-            n_matches=jnp.where(is_init, n_init, req.n_matches),
+            n_inliers=n_inl, n_matches=n_mat, telemetry=telemetry,
         )
         return new_ts, out

@@ -37,10 +37,23 @@ class System:
         max_kf: int = C.MAX_KF,
         max_pts: int = C.MAX_PTS,
         log_path: str | Path | None = None,
+        pipeline_depth: int = 0,
     ):
         """log_path: append one JSON line per tracked frame (schema:
         frame, t, state, inliers, matches, new_kf, kf_slot, n_kf, n_pt,
-        n_ln, loops_closed, gba_pending, ms)."""
+        n_ln, loops_closed, gba_pending, ms).
+
+        pipeline_depth: number of frames kept IN FLIGHT before host
+        bookkeeping (keyframe chain, logging, trajectory rows) runs for a
+        frame. 0 (default) = fully synchronous: track_rgbd returns THIS
+        frame's pose. K>0 = the device->host telemetry round trip (~25-30 ms
+        on the tunnel-attached TPU, independent of payload size) overlaps K
+        frames of device compute, and track_rgbd returns the pose of the
+        frame finalized during this call (None while the pipeline fills).
+        This is the reference's OWN concurrency model — its LocalMapping/
+        LoopClosing threads process keyframes a few frames late under load
+        (src/System.cc ~95: mlNewKeyFrames queue) — expressed as explicit
+        async dispatch instead of threads, so it stays deterministic."""
         if sensor.lower() != "rgbd":
             raise ValueError("only the RGB-D pipeline is supported (like the reference fork)")
         if not isinstance(settings, Settings):
@@ -91,7 +104,18 @@ class System:
             self._reloc = Relocalizer(self.tracker)
         self.localization_only = False
         self.n_loops_closed = 0
-        self._pending_rebase: np.ndarray | None = None
+        self.pipeline_depth = int(pipeline_depth)
+        # in-flight frames: (telemetry, FrameData, timestamp, dispatch_ms)
+        from collections import deque
+
+        self._inflight: deque = deque()
+        self._last_status = 0
+        self._last_frame = None
+        self._lost_pending = False
+        # culled-KF rebase substitutions for rows not yet appended:
+        # slot -> (surviving slot, Tcw_culled @ Twc_surviving); an entry
+        # expires when a new keyframe reuses the slot (_finalize_one)
+        self._recent_rebase: dict[int, tuple[int, np.ndarray]] = {}
         self.last_frame_was_kf = False
         # per-frame structured log (SURVEY.md §6 metrics row): one JSON line
         # per frame — the observability the reference only had via Pangolin
@@ -108,7 +132,15 @@ class System:
     # ------------------------------------------------------------------ track
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
         """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
-        by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None."""
+        by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None.
+
+        The host loop ONLY dispatches device programs and enqueues the
+        frame's telemetry (one packed f32 vector the step program emits —
+        see tracking.TEL_*); every host decision (keyframe chain, logging,
+        relocalization) happens in _finalize_one off that single read.
+        With pipeline_depth=0 the frame is finalized before returning
+        (synchronous semantics); with K>0 finalize lags K frames so the
+        ~25-30 ms tunnel round trip overlaps device compute."""
         import time as _time
 
         import jax.numpy as jnp
@@ -129,44 +161,83 @@ class System:
             jnp.asarray(depth, jnp.float32),
             ln_sp, ln_ep, ln_valid,
         )
-        # resolve last keyframe's deferred anchor rebase NOW, before a step
-        # that could insert a new keyframe into a recycled slot is
-        # dispatched (the one-frame deferral lets the mapper chain overlap
-        # this frame's host prep + build dispatch instead of blocking the
-        # frame loop at the previous keyframe)
-        if self._pending_rebase is not None:
-            self._rebase_culled_anchors(self._pending_rebase)
-            self._pending_rebase = None
         self.state, out = self.tracker.step(self.state, frame)
-        new_kf = bool(out.new_kf)
-        self.last_frame_was_kf = new_kf  # for latency attribution (bench)
-        if new_kf:
-            self._kf_timestamps[int(out.kf_id)] = float(timestamp)
-        prev_kf_valid = (
-            np.asarray(self.state.m.kf_valid)
-            if new_kf and not self.localization_only
-            else None
+        tel = out.telemetry
+        try:
+            tel.copy_to_host_async()  # start the D2H transfer NOW
+        except AttributeError:  # pragma: no cover - backend without async
+            pass
+        self._inflight.append(
+            (tel, frame, float(timestamp),
+             (_time.perf_counter() - t_start) * 1e3)
         )
-        if new_kf and self._mapper is not None and not self.localization_only:
+        ret = None
+        while len(self._inflight) > self.pipeline_depth:
+            ret = self._finalize_one()
+        if self._lost_pending:
+            # a finalized frame was LOST: drain the pipeline (later in-flight
+            # frames attempt in-step recovery on-device) and only run the
+            # host-side BoW+PnP relocalizer if the NEWEST frame is still lost
+            # (Tracking::Track ~560 attempts Relocalization while
+            # mState==LOST)
+            while self._inflight:
+                ret = self._finalize_one()
+            self._lost_pending = False
+            if self._last_status == 2 and self._last_frame is not None:
+                self.state, recovered = self._reloc.relocalize(
+                    self.state, self._last_frame
+                )
+                if recovered:
+                    # the working set is stale wherever we got lost; rebuild
+                    # it around the keyframe relocalization snapped to
+                    self.state = self.tracker.refresh_local_set(self.state)
+                    self._last_status = 1
+        return ret
+
+    def _finalize_one(self):
+        """Run the host side of the OLDEST in-flight frame: ONE telemetry
+        readback, then the keyframe chain (local mapping, loop closing,
+        working-set refresh, GBA slice, culled-anchor rebase), trajectory
+        rows and the JSONL record. Returns the frame's Tcw f64[4,4] (or None
+        if it was not tracked)."""
+        import time as _time
+
+        from plslam_tpu.pipeline import tracking as T
+
+        tel, frame, timestamp, disp_ms = self._inflight.popleft()
+        t0 = _time.perf_counter()
+        v = np.asarray(tel)  # the ONLY per-frame device->host round trip
+        tracked = v[T.TEL_TRACKED] > 0
+        new_kf = bool(v[T.TEL_NEW_KF] > 0)
+        kf_id = int(v[T.TEL_KF_ID])
+        ref_kf = int(v[T.TEL_REF_KF])
+        status = int(v[T.TEL_STATUS])
+        self.last_frame_was_kf = new_kf  # for latency attribution (bench)
+        self._last_status = status
+        self._last_frame = frame
+        if new_kf:
+            self._kf_timestamps[kf_id] = float(timestamp)
+            self._recent_rebase.pop(kf_id, None)  # slot reused: subst stale
+        loc = self.localization_only
+        prev_kf_valid = (
+            v[T.TEL_KF_VALID:].astype(bool) if new_kf and not loc else None
+        )
+        if new_kf and self._mapper is not None and not loc:
             self.state = self.state._replace(
-                m=self._mapper.process(self.state.m, int(out.kf_id))
+                m=self._mapper.process(self.state.m, kf_id)
             )
-        if self._loop is not None and new_kf and not self.localization_only:
-            self.state, closed = self._loop.process(self.state, int(out.kf_id))
+        if self._loop is not None and new_kf and not loc:
+            self.state, closed = self._loop.process(self.state, kf_id)
             if closed:
                 self.n_loops_closed = self._loop.n_loops_closed
-        if new_kf and not self.localization_only and (
+        if new_kf and not loc and (
             self._mapper is not None or self._loop is not None
         ):
             # mapper triangulation/fuse/culling and loop correction mutate
             # landmarks outside the step: recompute the tracking working set
             # (the in-step refresh at KF insertion predates those edits)
             self.state = self.tracker.refresh_local_set(self.state)
-        if (
-            self._loop is not None
-            and self._loop.gba_queue
-            and not self.localization_only
-        ):
+        if self._loop is not None and self._loop.gba_queue and not loc:
             # time-sliced global BA: one LM slice per frame — tracking
             # continues on the partially-optimized map, the reference's
             # transient-GBA-thread behavior (see LocalBA.slice_runner)
@@ -174,47 +245,58 @@ class System:
             if not self._loop.gba_queue:
                 self.state = self.tracker.refresh_local_set(self.state)
         if prev_kf_valid is not None:
-            self._pending_rebase = prev_kf_valid  # resolved next frame
-        if new_kf and self._loop is None and not self.localization_only:
+            # keyframes culled by THIS frame's mapper/loop chain: re-anchor
+            # replay rows now, before any later step reuses the slot (later
+            # steps already dispatched could only allocate slots that were
+            # free BEFORE this cull, so the comparison is race-free)
+            self._rebase_culled_anchors(prev_kf_valid)
+        if new_kf and self._loop is None and not loc:
             # keep the reloc BoW database current (LoopCloser.detect does
             # this itself when loop closing is on)
-            self._reloc.observe_keyframe(self.state.m, int(out.kf_id))
-        if int(self.state.status) == 2:  # LOST
-            self.state, recovered = self._reloc.relocalize(self.state, frame)
-            if recovered:
-                # the working set is stale wherever we got lost; rebuild it
-                # around the keyframe relocalization snapped to
-                self.state = self.tracker.refresh_local_set(self.state)
+            self._reloc.observe_keyframe(self.state.m, kf_id)
+        if status == 2:  # LOST — relocalize once the pipeline drains
+            self._lost_pending = True
 
+        rel_pose = np.asarray(v[T.TEL_REL_POSE], np.float64).reshape(4, 4)
+        if ref_kf in self._recent_rebase:
+            # this frame referenced a keyframe culled while it was in
+            # flight: apply the same rebase _rebase_culled_anchors gave the
+            # already-appended rows
+            p, M = self._recent_rebase[ref_kf]
+            rel_pose = rel_pose @ M
+            ref_kf = p
         self._timestamps.append(float(timestamp))
-        self._rel_poses.append(np.asarray(out.rel_pose, np.float64))
-        self._ref_ids.append(int(out.ref_kf))
-        tracked = bool(out.tracked)
-        self._tracked.append(tracked)
+        self._rel_poses.append(rel_pose)
+        self._ref_ids.append(ref_kf)
+        self._tracked.append(bool(tracked))
         if self._log_fh is not None:
             import json
-            import time as _time
 
-            m = self.state.m
             self._log_fh.write(json.dumps({
-                "frame": int(self.state.frame_id) - 1,
+                "frame": len(self._timestamps) - 1,
                 "t": float(timestamp),
-                "state": TRACKING_STATES[int(self.state.status)],
-                "inliers": int(out.n_inliers),
-                "matches": int(out.n_matches),
+                "state": TRACKING_STATES[status],
+                "inliers": int(v[T.TEL_N_INLIERS]),
+                "matches": int(v[T.TEL_N_MATCHES]),
                 "new_kf": new_kf,
-                "kf_slot": int(out.kf_id) if new_kf else -1,
-                "n_kf": int(m.n_kf),
-                "n_pt": int(m.n_pt),
-                "n_ln": int(m.n_ln),
+                "kf_slot": kf_id if new_kf else -1,
+                "n_kf": int(v[T.TEL_N_KF]),
+                "n_pt": int(v[T.TEL_N_PT]),
+                "n_ln": int(v[T.TEL_N_LN]),
                 "loops_closed": self.n_loops_closed,
                 # slices of a time-sliced global BA still pending after this
                 # frame — attributes a closure's spread-out frame-time cost
                 # (LoopClosing::RunGlobalBundleAdjustment analogue)
                 "gba_pending": len(self._loop.gba_queue) if self._loop else 0,
-                "ms": round((_time.perf_counter() - t_start) * 1e3, 2),
+                # host cost attributable to this frame: its dispatch time
+                # plus its finalize (keyframe chain + bookkeeping) time
+                "ms": round(
+                    disp_ms + (_time.perf_counter() - t0) * 1e3, 2
+                ),
             }) + "\n")
-        return np.asarray(out.Tcw, np.float64) if tracked else None
+        if not tracked:
+            return None
+        return np.asarray(v[T.TEL_TCW], np.float64).reshape(4, 4)
 
     # ------------------------------------------------------------------- mode
     def activate_localization_mode(self):
@@ -236,6 +318,13 @@ class System:
     def get_tracking_state(self) -> str:
         return TRACKING_STATES[int(self.state.status)]
 
+    @property
+    def tracked_flags(self) -> list:
+        """Per-frame tracked flags of every FINALIZED frame, in frame order
+        (pipelined callers can't count track_rgbd return values — the first
+        pipeline_depth calls return None while the pipeline fills)."""
+        return list(self._tracked)
+
     def map_changed(self) -> bool:
         return bool(self.state.m.n_kf > 0)
 
@@ -246,17 +335,20 @@ class System:
         return pos[lm[lm >= 0]]
 
     def _flush_pending(self):
-        """Resolve a deferred culled-anchor rebase and drain any pending
-        global-BA slices (see track_rgbd) — save/load/mode switches must see
-        the fully-optimized map."""
-        if self._pending_rebase is not None:
-            self._rebase_culled_anchors(self._pending_rebase)
-            self._pending_rebase = None
+        """Finalize every in-flight frame and drain any pending global-BA
+        slices (see track_rgbd) — save/load/mode switches must see the
+        fully-optimized map and complete replay rows."""
+        while self._inflight:
+            self._finalize_one()
         if self._loop is not None and self._loop.gba_queue:
             self.state = self._loop.flush_gba(self.state)
 
     def reset(self):
-        self._pending_rebase = None  # replay log is cleared below anyway
+        self._inflight.clear()  # replay log is cleared below anyway
+        self._recent_rebase = {}
+        self._lost_pending = False
+        self._last_status = 0
+        self._last_frame = None
         self.state = self.tracker.init_state()
         self._timestamps, self._rel_poses = [], []
         self._ref_ids, self._tracked = [], []
@@ -330,10 +422,19 @@ class System:
         culled (SaveTrajectoryTUM walks pKF->GetParent() for bad KFs; with
         recycled slots the rebase must happen EAGERLY, before the slot is
         reused by an unrelated keyframe — and a culled KF's frozen pose
-        would also never receive loop corrections)."""
+        would also never receive loop corrections). Substitutions are also
+        recorded in _recent_rebase so rows of frames still in flight get the
+        same rebase when they finalize (entries expire when a new keyframe
+        reuses the slot)."""
         m = self.state.m
+        # start all three transfers before blocking: round trips overlap
+        for a in (m.kf_valid, m.kf_pose, m.kf_frame_id):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:  # pragma: no cover
+                break
         cur_valid = np.asarray(m.kf_valid)
-        culled = prev_kf_valid & ~cur_valid
+        culled = prev_kf_valid[: len(cur_valid)] & ~cur_valid
         if not culled.any():
             return
         poses = np.asarray(m.kf_pose, np.float64)
@@ -350,6 +451,7 @@ class System:
             for i in np.where(ref_arr == j)[0]:
                 self._rel_poses[i] = self._rel_poses[i] @ M
                 self._ref_ids[i] = p
+            self._recent_rebase[int(j)] = (p, M)
 
     def save_trajectory_tum(self, path: str | Path):
         self._flush_pending()

@@ -178,6 +178,65 @@ class TestRelocTopup:
         assert ok_topup, "guided top-up failed to rescue marginal reloc"
 
 
+class TestPipelined:
+    """pipeline_depth=K (production mode on the tunnel-attached TPU: the
+    telemetry round trip overlaps K frames of device compute; host
+    bookkeeping — keyframe chain, logging, trajectory rows — lags K frames,
+    the reference's own async-LocalMapping semantics made explicit)."""
+
+    def _run(self, seq, tmp_path, tag, depth):
+        slam = System(
+            seq.settings, max_pts=4096, max_kf=32, pipeline_depth=depth,
+        )
+        poses = []
+        for i in range(seq.n_frames):
+            gray, d, t = seq.frame(i)
+            poses.append(slam.track_rgbd(gray, d, t))
+        out = tmp_path / f"traj_{tag}.txt"
+        slam.save_trajectory_tum(out)  # drains the pipeline
+        return slam, poses, out
+
+    def test_tracks_and_ate(self, small_seq, tmp_path):
+        slam, poses, out = self._run(small_seq, tmp_path, "p4", depth=4)
+        # the first `depth` calls return None (pipeline filling); afterwards
+        # each call returns the pose of the frame finalized during it
+        assert all(p is None for p in poses[:4])
+        assert all(p is not None for p in poses[4:])
+        from plslam_tpu.io.trajectory import load_trajectory_tum
+
+        est = load_trajectory_tum(out)
+        assert len(est) == small_seq.n_frames  # save drained every row
+        rmse, n = ate_rmse(est, small_seq.gt_trajectory())
+        assert n == small_seq.n_frames
+        # the mapper refines the map K frames late, so the trajectory is not
+        # bit-identical to the synchronous run — but accuracy must hold
+        assert rmse < 0.012, f"pipelined ATE {rmse * 100:.2f} cm"
+
+    def test_deterministic(self, small_seq, tmp_path):
+        _, _, out1 = self._run(small_seq, tmp_path, "d1", depth=4)
+        _, _, out2 = self._run(small_seq, tmp_path, "d2", depth=4)
+        assert out1.read_text() == out2.read_text()
+
+    def test_blackout_recovery(self, small_seq, tmp_path):
+        """LOST handling in pipelined mode: the lost flag drains the
+        pipeline and relocalizes off the newest frame."""
+        slam = System(
+            small_seq.settings, max_pts=4096, max_kf=32, pipeline_depth=4,
+        )
+        for i in range(10):
+            gray, depth, t = small_seq.frame(i)
+            slam.track_rgbd(gray, depth, t)
+        for j in range(5):
+            slam.track_rgbd(
+                np.zeros_like(gray), depth, t + 0.03 * (j + 1)
+            )
+        for i in range(10, 14):
+            gray, depth, t2 = small_seq.frame(i)
+            out = slam.track_rgbd(gray, depth, t2 + 0.5)
+        slam._flush_pending()
+        assert slam.get_tracking_state() == "OK"
+
+
 class TestEvaluator:
     def test_ate_zero_on_identical(self, small_seq):
         gt = small_seq.gt_trajectory()
