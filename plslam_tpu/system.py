@@ -130,6 +130,31 @@ class System:
         self._tracked: list[bool] = []
 
     # ------------------------------------------------------------------ track
+    @property
+    def _fused_step(self):
+        """jit(frame build + tracking step): one device dispatch per frame.
+
+        The previous TrackState is DONATED on the TPU backend — the masked
+        keyframe/landmark scatters then update HBM in place (kf_desc alone
+        is 8 MB; without donation every touched map array is copied each
+        frame — same rationale as bench.py's chunk program). Donation is
+        skipped on CPU (the test backend ignores it with a warning)."""
+        f = getattr(self, "_fused_step_cache", None)
+        if f is None:
+            import functools
+
+            import jax
+
+            def fused(state, gray, depth, ln_sp, ln_ep, ln_valid):
+                frame = self.builder._build(gray, depth, ln_sp, ln_ep, ln_valid)
+                state, out = self.tracker._step(state, frame)
+                return state, out, frame
+
+            donate = (0,) if jax.default_backend() != "cpu" else ()
+            f = jax.jit(fused, donate_argnums=donate)
+            self._fused_step_cache = f
+        return f
+
     def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
         """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
         by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None.
@@ -155,13 +180,29 @@ class System:
                 else np.array([0.114, 0.587, 0.299])
             )
             gray = (rgb.astype(np.float32) @ w).astype(np.float32)
-        ln_sp, ln_ep, ln_valid = self.builder.detect_lines(np.asarray(gray))
-        frame = self.builder(
+        if self.builder.device_lines or not self.builder.use_lines:
+            # constant empties (LSD runs inside the jitted program): reuse
+            # the cached device arrays — re-uploading three host zeros per
+            # frame costs three tunnel transfers
+            zl = getattr(self, "_zl_dev", None)
+            if zl is None:
+                zl = self._zl_dev = self.builder.empty_lines()
+            ln_sp, ln_ep, ln_valid = zl
+        else:
+            ln_sp, ln_ep, ln_valid = map(
+                jnp.asarray, self.builder.detect_lines(np.asarray(gray))
+            )
+        # ONE fused dispatch per frame (frame build + tracking step in a
+        # single jitted program): per-dispatch host+tunnel overhead measured
+        # ~25 ms on the 1-core tunnel-attached host (bench.py chunk fit), so
+        # the previous builder-then-step pair paid it twice. The fused
+        # program is the same composition the official bench runs.
+        self.state, out, frame = self._fused_step(
+            self.state,
             jnp.asarray(gray, jnp.float32),
             jnp.asarray(depth, jnp.float32),
             ln_sp, ln_ep, ln_valid,
         )
-        self.state, out = self.tracker.step(self.state, frame)
         tel = out.telemetry
         try:
             tel.copy_to_host_async()  # start the D2H transfer NOW
