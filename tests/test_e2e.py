@@ -217,6 +217,55 @@ class TestPipelined:
         _, _, out2 = self._run(small_seq, tmp_path, "d2", depth=4)
         assert out1.read_text() == out2.read_text()
 
+    def test_returned_pose_is_lagged_frame(self, small_seq, tmp_path):
+        """PINS the pipelined-API contract (round-4 verdict next #10, chosen
+        and documented in System.__init__): with pipeline_depth=K, call i
+        returns the pose of frame i-K — the frame FINALIZED during the call
+        — not the current frame's. Verified geometrically: the returned
+        translation must match the synchronous run's frame i-K pose and be
+        far from frame i's (the fixture moves ~3 cm per 4 frames).
+
+        WHICH frame was finalized is pinned exactly via the finalize-order
+        timestamp list (the same order the JSONL/trajectory rows are
+        appended in). The pose value itself is compared against the sync
+        run only LOOSELY: pipelined runs are not bit-identical to sync (the
+        mapper refines the map K frames late — see test_tracks_and_ate),
+        so the check is that the return is geometrically the LAGGED frame's
+        pose, not the current frame's (~3 cm apart in this fixture)."""
+        slam_s, p_sync, _ = self._run(small_seq, tmp_path, "lag_s", depth=0)
+        seen = []
+
+        class SpySystem(System):
+            def _finalize_one(self2):
+                r = super()._finalize_one()
+                seen.append(self2._timestamps[-1])
+                return r
+
+        slam_p = SpySystem(
+            small_seq.settings, max_pts=4096, max_kf=32, pipeline_depth=4
+        )
+        checked = 0
+        for i in range(small_seq.n_frames):
+            gray, d, t = small_seq.frame(i)
+            n0 = len(seen)
+            p = slam_p.track_rgbd(gray, d, t)
+            if p is None:
+                assert i < 4, f"call {i} returned None after pipeline fill"
+                continue
+            # exactly one frame finalized during this call, and it is i-4
+            assert len(seen) == n0 + 1
+            assert seen[-1] == small_seq.timestamp(i - 4)
+            # no absolute closeness bound vs the sync run: the two runs
+            # legitimately diverge up to ~1.6 cm (late map refinement);
+            # the timestamp pin above is the exact contract, the geometric
+            # check below only discriminates lagged-vs-current
+            d_lag = np.linalg.norm(p[:3, 3] - p_sync[i - 4][:3, 3])
+            d_cur = np.linalg.norm(p[:3, 3] - p_sync[i][:3, 3])
+            if d_cur > 0.02:  # frames far enough apart to discriminate
+                assert d_lag < d_cur, f"call {i} returned the CURRENT pose"
+                checked += 1
+        assert checked >= 5, "fixture never discriminated lagged vs current"
+
     def test_blackout_recovery(self, small_seq, tmp_path):
         """LOST handling in pipelined mode: the lost flag drains the
         pipeline and relocalizes off the newest frame."""
