@@ -140,7 +140,13 @@ class FrameBuilder:
             )
         fs = self.extractor._extract(gray)
         uv_raw = fs.uv
-        uv_und = self._undistort(uv_raw)
+        # invalid (padded) slots carry arbitrary coords; the fixed-point
+        # undistortion DIVERGES on far-out-of-image inputs (freiburg1 k2/k3)
+        # and the resulting NaN uvr rows poison every downstream 0*NaN
+        # reduction (measured: pose LM's b vector went NaN, every step was
+        # rejected, tracking froze at the init pose in config-1) — undistort
+        # a zeroed stand-in instead
+        uv_und = self._undistort(jnp.where(fs.valid[:, None], uv_raw, 0.0))
         # depth lookup at the raw keypoint position (Frame::ComputeStereoFromRGBD
         # samples mImDepth at the detected, pre-undistortion coords)
         d = self._depth_at(depth, uv_raw, fs.valid)
@@ -150,8 +156,8 @@ class FrameBuilder:
         # ---- lines: LBD on device, endpoint undistortion + depth ----
         gx, gy = lbd.image_gradients(gray)
         ln_desc = lbd.lbd_descriptor(gx, gy, ln_sp_raw, ln_ep_raw, ln_valid)
-        sp_und = self._undistort(ln_sp_raw)
-        ep_und = self._undistort(ln_ep_raw)
+        sp_und = self._undistort(jnp.where(ln_valid[:, None], ln_sp_raw, 0.0))
+        ep_und = self._undistort(jnp.where(ln_valid[:, None], ln_ep_raw, 1.0))
         seg = ep_und - sp_und
         ln_angle = jnp.arctan2(seg[:, 1], seg[:, 0])
         # 2D line equation from undistorted endpoints, sqrt(a^2+b^2)=1

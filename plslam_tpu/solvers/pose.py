@@ -193,6 +193,11 @@ def pose_optimization(
 
     def build_system(Tcw, active_pts, active_lines, robust):
         r, J, ok = _point_residual_jac(Tcw, pts, K, bf)
+        # zero residuals of excluded rows BEFORE they enter any matmul:
+        # w=0 does not save b = (Jw)^T r from 0 * NaN = NaN when a padded
+        # observation row carries non-finite coords (NaN b -> NaN delta ->
+        # every LM step rejected -> the solve silently returns its init)
+        r = jnp.where((pts.valid & ok)[:, None], r, 0.0)
         chi2 = jnp.sum(r * r, -1) * pts.inv_sigma2
         delta2 = _chi2_threshold_pts(pts.is_stereo)
         w = _huber_weight(chi2, delta2, robust) * pts.inv_sigma2
@@ -215,6 +220,7 @@ def pose_optimization(
         cost = cost + 1e7 * jnp.sum(active_pts & pts.valid & ~ok)
         if has_lines:
             rl, Jl, okl = _line_residual_jac(Tcw, lines, K)
+            rl = jnp.where((lines.valid & okl)[:, None], rl, 0.0)  # see r
             chi2l = jnp.sum(rl * rl, -1) * lines.inv_sigma2
             wl = _huber_weight(chi2l, C.CHI2_LINE, robust) * lines.inv_sigma2
             wl = jnp.where(active_lines & lines.valid & okl, wl, 0.0)
